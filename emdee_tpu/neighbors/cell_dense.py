@@ -1,0 +1,427 @@
+"""Gather-free dense-cell force engine — the production TPU path.
+
+Motivation: XLA:TPU lowers per-row gathers (neighbor-list style
+`positions[idx]`) to effectively serial loads — measured ~0.4 GB/s — so any
+Verlet-list formulation is DOA on TPU.  This engine removes *all* gathers and
+scatters from the hot loop by keeping the simulation itself in cell-slot
+layout:
+
+- Atoms live in a dense slot grid ``(M, M, M, C)`` (cell side h = L/M ≥
+  cutoff + skin, capacity C a multiple of 8), built once per rebin by one
+  argsort — the same bin-and-sort as cell_list.py, but the *state* stays in
+  this layout between rebins, so steps never reindex atoms.
+- The 27-cell neighborhood is enumerated with static ``jnp.roll`` shifts of
+  the slot grid: offset v's neighbor block for every cell simultaneously is
+  ``roll(grid, -v)`` — PBC wraparound for free, perfectly coalesced, zero
+  indices.  (The TPU re-imagining of the reference's action/reaction stencil
+  walk, cells.jl:38-44,224-297.)
+- Newton's 3rd law across cells: the reaction forces computed against offset
+  v's block are rolled *back* by +v and added — a shift, not a scatter (the
+  role atomicAdd plays in the reference, nonbonded.jl:88-104).
+- Pair tiles are shaped ``(cells, C, 4·C = 128)`` — four stencil offsets
+  concatenated on the last axis — so the VPU's (8, 128) lanes are full.
+
+Per-atom energy/virial conventions match the reference (half-split,
+nonbonded.jl:93-94): each computed pair contributes E/2 to both sides.
+
+Rebinning is displacement-triggered (skin/2 rule) inside `lax.cond`, so long
+`lax.scan` rollouts stay fully on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emdee_tpu.core.pbc import minimum_image, wrap, wrap_scaled
+from emdee_tpu.core.types import LJParams
+from emdee_tpu.potentials.lennard_jones import LennardJonesModel, pair_interaction
+
+
+class CellDenseConfig(NamedTuple):
+    """Static geometry of the dense-cell engine."""
+
+    cells_per_dim: int  # M
+    capacity: int  # C, slots per cell (multiple of 8)
+    box: float
+    cutoff: float
+    switch: float
+    skin: float
+    num_atoms: int
+
+    @property
+    def num_cells(self) -> int:
+        return self.cells_per_dim**3
+
+    @property
+    def num_slots(self) -> int:
+        return self.num_cells * self.capacity
+
+    @property
+    def cell_side(self) -> float:
+        return self.box / self.cells_per_dim
+
+
+class CellDenseState(NamedTuple):
+    """Simulation state in slot layout: leading dims (M³, C)."""
+
+    positions: jax.Array  # (M³, C, 3)
+    velocities: jax.Array  # (M³, C, 3)
+    inv_masses: jax.Array  # (M³, C) — 0 for empty slots
+    half_sigma: jax.Array  # (M³, C)
+    twice_sqrt_eps: jax.Array  # (M³, C)
+    atom_id: jax.Array  # (M³, C) int32, sentinel = num_slots for empty
+    valid: jax.Array  # (M³, C) bool
+    ref_positions: jax.Array  # (M³, C, 3) — positions at last rebin
+    step: jax.Array  # () int32
+    overflow: jax.Array  # () bool
+
+
+def suggest_cell_dense_config(
+    num_atoms: int,
+    box: float,
+    cutoff: float,
+    switch: float,
+    skin: float = 0.4,
+    capacity_multiplier: float = 1.25,
+) -> CellDenseConfig:
+    m = int(np.floor(box / (cutoff + skin)))
+    if m < 3:
+        raise ValueError(
+            f"box {box} holds only {m} cells of side ≥ {cutoff + skin}; "
+            "use the all-pairs method for boxes this small"
+        )
+    mean_occ = num_atoms / m**3
+    cap = int(np.ceil(mean_occ * capacity_multiplier + 3.0 * np.sqrt(mean_occ) + 1.0))
+    cap = -(-cap // 8) * 8
+    return CellDenseConfig(
+        cells_per_dim=m,
+        capacity=cap,
+        box=box,
+        cutoff=cutoff,
+        switch=switch,
+        skin=skin,
+        num_atoms=num_atoms,
+    )
+
+
+def _half_shell_offsets() -> np.ndarray:
+    """13 half-shell offsets of the 27-stencil (lexicographic upper half) —
+    Newton-3 ownership, the cells.jl:31 'action' idea on a dense grid."""
+    offs = []
+    for vz in (-1, 0, 1):
+        for vy in (-1, 0, 1):
+            for vx in (-1, 0, 1):
+                if (vz, vy, vx) > (0, 0, 0) or (vz > 0) or (vz == 0 and vy > 0) or (
+                    vz == 0 and vy == 0 and vx > 0
+                ):
+                    offs.append((vx, vy, vz))
+    return np.asarray(sorted(set(offs)), np.int32)
+
+
+# Grouped into 4-offset blocks (→ 128-lane pair tiles); 3 dummy slots padded
+# and masked out.
+_OFFSETS = _half_shell_offsets()
+_GROUPS = 4
+_OFFSETS_PADDED = np.concatenate(
+    [_OFFSETS, np.zeros((_GROUPS * ((len(_OFFSETS) + _GROUPS - 1) // _GROUPS) - len(_OFFSETS), 3), np.int32)]
+)
+_OFFSET_LIVE = np.arange(len(_OFFSETS_PADDED)) < len(_OFFSETS)
+
+
+# ---------------------------------------------------------------------------
+# Binning: dense (N,)-arrays ↔ slot grid
+# ---------------------------------------------------------------------------
+
+
+def _bin_to_slots(positions, per_atom, config: CellDenseConfig, valid=None):
+    """Scatter per-atom arrays into the (M³, C) slot layout.
+
+    positions: (K, 3); per_atom: dict name → (K, …) arrays; valid: optional
+    (K,) bool — False rows (inert padding slots during a rebin) are routed to
+    a virtual cell and dropped, so they can never displace real atoms.
+    Returns slot arrays + overflow flag.  One argsort + one scatter — this is
+    `build_cell_list` with the whole state riding along.
+    """
+    m, c = config.cells_per_dim, config.capacity
+    n = positions.shape[0]
+    num_cells = m**3
+    s = wrap_scaled(positions / config.box)
+    v = jnp.clip(jnp.floor(m * s).astype(jnp.int32), 0, m - 1)
+    cell = v[:, 0] + m * (v[:, 1] + m * v[:, 2])
+    if valid is not None:
+        cell = jnp.where(valid, cell, num_cells)
+
+    order = jnp.argsort(cell, stable=True).astype(jnp.int32)
+    cell_sorted = cell[order]
+    counts = jnp.zeros(num_cells + 1, jnp.int32).at[cell].add(1)
+    starts = jnp.cumsum(counts) - counts
+    rank = jnp.arange(n, dtype=jnp.int32) - starts[cell_sorted]
+    dest = jnp.where(
+        (cell_sorted < num_cells) & (rank < c), cell_sorted * c + rank, num_cells * c
+    )
+
+    def scatter(arr, fill):
+        flat = jnp.full((num_cells * c,) + arr.shape[1:], fill, arr.dtype)
+        flat = flat.at[dest].set(arr[order], mode="drop")
+        return flat.reshape((num_cells, c) + arr.shape[1:])
+
+    out = {name: scatter(arr, fill) for name, (arr, fill) in per_atom.items()}
+    overflow = jnp.max(counts[:num_cells]) > c
+    return out, overflow
+
+
+def _rebin(state: CellDenseState, config: CellDenseConfig) -> CellDenseState:
+    """Re-sort live slots into fresh cells (in-graph, fixed shapes)."""
+    flat_pos = state.positions.reshape(-1, 3)
+    per_atom = {
+        "positions": (flat_pos, 0.0),
+        "velocities": (state.velocities.reshape(-1, 3), 0.0),
+        "inv_masses": (state.inv_masses.reshape(-1), 0.0),
+        "half_sigma": (state.half_sigma.reshape(-1), 0.0),
+        "twice_sqrt_eps": (state.twice_sqrt_eps.reshape(-1), 0.0),
+        "atom_id": (state.atom_id.reshape(-1), config.num_slots),
+        "valid": (state.valid.reshape(-1), False),
+    }
+    out, overflow = _bin_to_slots(
+        flat_pos, per_atom, config, valid=state.valid.reshape(-1)
+    )
+    return CellDenseState(
+        positions=out["positions"],
+        velocities=out["velocities"],
+        inv_masses=jnp.where(out["valid"], out["inv_masses"], 0.0),
+        half_sigma=jnp.where(out["valid"], out["half_sigma"], 0.0),
+        twice_sqrt_eps=jnp.where(out["valid"], out["twice_sqrt_eps"], 0.0),
+        atom_id=jnp.where(out["valid"], out["atom_id"], config.num_slots),
+        valid=out["valid"],
+        ref_positions=out["positions"],
+        step=state.step,
+        overflow=state.overflow | overflow,
+    )
+
+
+def cell_dense_init(
+    positions,
+    velocities,
+    masses,
+    params: LJParams,
+    config: CellDenseConfig,
+) -> CellDenseState:
+    """Host entry: pack (N, …) arrays into slot layout (with overflow retry
+    left to the caller via the flag)."""
+    n = positions.shape[0]
+    positions = jnp.asarray(positions, jnp.float32)
+    per_atom = {
+        "positions": (positions, 0.0),
+        "velocities": (jnp.asarray(velocities, jnp.float32), 0.0),
+        "inv_masses": (1.0 / jnp.asarray(masses, jnp.float32), 0.0),
+        "half_sigma": (jnp.asarray(params.half_sigma, jnp.float32), 0.0),
+        "twice_sqrt_eps": (jnp.asarray(params.twice_sqrt_eps, jnp.float32), 0.0),
+        "atom_id": (jnp.arange(n, dtype=jnp.int32), config.num_slots),
+        "valid": (jnp.ones(n, bool), False),
+    }
+    out, overflow = _bin_to_slots(positions, per_atom, config)
+    return CellDenseState(
+        positions=out["positions"],
+        velocities=out["velocities"],
+        inv_masses=jnp.where(out["valid"], out["inv_masses"], 0.0),
+        half_sigma=out["half_sigma"],
+        twice_sqrt_eps=out["twice_sqrt_eps"],
+        atom_id=jnp.where(out["valid"], out["atom_id"], config.num_slots),
+        valid=out["valid"],
+        ref_positions=out["positions"],
+        step=jnp.asarray(0, jnp.int32),
+        overflow=overflow,
+    )
+
+
+# ---------------------------------------------------------------------------
+# The gather-free force pass
+# ---------------------------------------------------------------------------
+
+
+def _roll_cells(grid: jax.Array, offset, m: int) -> jax.Array:
+    """Neighbor block for a cell offset: roll the (M³, C, …) slot grid so
+    that cell c's row holds cell (c+offset)'s content, PBC-wrapped."""
+    shaped = grid.reshape((m, m, m) + grid.shape[1:])  # (Mz? no: x fastest)
+    # Cell id = x + M·(y + M·z) → reshape gives axes (z, y, x).
+    rolled = jnp.roll(
+        shaped, shift=(-int(offset[2]), -int(offset[1]), -int(offset[0])), axis=(0, 1, 2)
+    )
+    return rolled.reshape(grid.shape)
+
+
+@partial(jax.jit, static_argnames=("config", "compute_energy"))
+def cell_dense_forces(
+    state: CellDenseState,
+    model: LennardJonesModel,
+    config: CellDenseConfig,
+    *,
+    compute_energy: bool = False,
+):
+    """Forces (+ per-slot energies/virials) for every live slot.
+
+    Structure: one full C×C self-cell tile (each intra-cell pair evaluated
+    from both sides — no Newton needed) plus 13 half-shell offset tiles in
+    128-lane groups with Newton-3 reaction accumulation via reverse rolls.
+    """
+    m, c = config.cells_per_dim, config.capacity
+    box = jnp.float32(config.box)
+    pos = state.positions
+    scaled = pos / box
+    hs = state.half_sigma
+    tse = state.twice_sqrt_eps
+    valid = state.valid
+    nc = m**3
+
+    forces = jnp.zeros_like(pos)
+    energies = jnp.zeros_like(hs) if compute_energy else None
+    virials = jnp.zeros_like(hs) if compute_energy else None
+
+    # ---- self-cell tile: (M³, C, C), both directions, mask i==j ----
+    dv = box * minimum_image(scaled[:, :, None, :] - scaled[:, None, :, :])
+    r2 = jnp.sum(dv * dv, axis=-1)
+    eye = jnp.eye(c, dtype=bool)
+    ok = valid[:, :, None] & valid[:, None, :] & ~eye[None]
+    r2s = jnp.where(ok, r2, 1.0)
+    e, mrE = pair_interaction(
+        r2s, model, hs[:, :, None], tse[:, :, None], hs[:, None, :], tse[:, None, :]
+    )
+    e = jnp.where(ok, e, 0.0)
+    mrE = jnp.where(ok, mrE, 0.0)
+    forces = forces + jnp.sum((mrE / r2s)[..., None] * dv, axis=2)
+    if compute_energy:
+        energies = energies + 0.5 * jnp.sum(e, axis=2)
+        virials = virials + 0.5 * jnp.sum(mrE, axis=2)
+
+    # ---- half-shell groups: (M³, C, G·C) tiles with reaction rolls ----
+    n_off = len(_OFFSETS_PADDED)
+    for g in range(0, n_off, _GROUPS):
+        offs = _OFFSETS_PADDED[g : g + _GROUPS]
+        live = _OFFSET_LIVE[g : g + _GROUPS]
+        nbr_scaled = jnp.concatenate(
+            [_roll_cells(scaled, o, m) for o in offs], axis=1
+        )  # (M³, G·C, 3)
+        nbr_hs = jnp.concatenate([_roll_cells(hs, o, m) for o in offs], axis=1)
+        nbr_tse = jnp.concatenate([_roll_cells(tse, o, m) for o in offs], axis=1)
+        nbr_valid = jnp.concatenate(
+            [
+                _roll_cells(valid, o, m) if lv else jnp.zeros_like(valid)
+                for o, lv in zip(offs, live)
+            ],
+            axis=1,
+        )
+
+        dv = box * minimum_image(scaled[:, :, None, :] - nbr_scaled[:, None, :, :])
+        r2 = jnp.sum(dv * dv, axis=-1)  # (M³, C, G·C)
+        ok = valid[:, :, None] & nbr_valid[:, None, :]
+        r2s = jnp.where(ok, r2, 1.0)
+        e, mrE = pair_interaction(
+            r2s, model, hs[:, :, None], tse[:, :, None], nbr_hs[:, None, :], nbr_tse[:, None, :]
+        )
+        # Materialize only the per-pair scalar g = (−r·E′)/r² and let each
+        # reduction re-derive g·dv — keeping the (…, G·C, 3) force-vector
+        # tensor out of HBM.  (A single tensor consumed by two reductions
+        # (center sum + Newton reaction sum) cannot be fusion-eliminated by
+        # XLA; measured 2× step time at 100k atoms.)
+        g = jnp.where(ok, mrE / r2s, 0.0)
+        gdv = g[..., None] * dv
+        forces = forces + jnp.sum(gdv, axis=2)
+        # Reaction: −f summed over the center axis, rolled back onto owners.
+        reaction = -jnp.sum(gdv, axis=1)  # (M³, G·C, 3)
+        for k, (o, lv) in enumerate(zip(offs, live)):
+            if lv:
+                blk = reaction[:, k * c : (k + 1) * c]
+                forces = forces + _roll_cells(blk, -o, m)
+        if compute_energy:
+            e = jnp.where(ok, e, 0.0)
+            mrE = jnp.where(ok, mrE, 0.0)
+            energies = energies + 0.5 * jnp.sum(e, axis=2)
+            virials = virials + 0.5 * jnp.sum(mrE, axis=2)
+            e_r = 0.5 * jnp.sum(e, axis=1)
+            w_r = 0.5 * jnp.sum(mrE, axis=1)
+            for k, (o, lv) in enumerate(zip(offs, live)):
+                if lv:
+                    energies = energies + _roll_cells(e_r[:, k * c : (k + 1) * c], -o, m)
+                    virials = virials + _roll_cells(w_r[:, k * c : (k + 1) * c], -o, m)
+
+    if compute_energy:
+        return forces, energies, virials
+    return forces, None, None
+
+
+# ---------------------------------------------------------------------------
+# Integration in slot space
+# ---------------------------------------------------------------------------
+
+
+def _needs_rebin(state: CellDenseState, config: CellDenseConfig) -> jax.Array:
+    dv = state.positions - state.ref_positions
+    dv = dv - jnp.round(dv / config.box) * config.box
+    d2 = jnp.sum(dv * dv, axis=-1)
+    d2 = jnp.where(state.valid, d2, 0.0)
+    return jnp.max(d2) > (0.5 * config.skin) ** 2
+
+
+def make_cell_dense_sim(config: CellDenseConfig, model: LennardJonesModel, dt: float):
+    """Build (init_forces, rollout, energy) closures for slot-space NVE."""
+    dt_f = jnp.float32(dt)
+    box = jnp.float32(config.box)
+
+    def forces_of(state):
+        return cell_dense_forces(state, model, config)[0]
+
+    def one_step(carry, _):
+        # The half-kick velocity is written into the state *before* the rebin
+        # so a rebin permutes it together with positions/params and the second
+        # kick pairs each atom's v_half with its own new forces.
+        state, forces = carry
+        inv_m = state.inv_masses[..., None]
+        v_half = state.velocities + (0.5 * dt_f) * forces * inv_m
+        new_pos = wrap(state.positions + dt_f * v_half, box)
+        new_pos = jnp.where(state.valid[..., None], new_pos, state.positions)
+        state = state._replace(positions=new_pos, velocities=v_half)
+        state = jax.lax.cond(
+            _needs_rebin(state, config), lambda s: _rebin(s, config), lambda s: s, state
+        )
+        new_forces = forces_of(state)
+        new_vel = state.velocities + (0.5 * dt_f) * new_forces * state.inv_masses[..., None]
+        state = state._replace(velocities=new_vel, step=state.step + 1)
+        return (state, new_forces), None
+
+    @partial(jax.jit, static_argnames=("num_steps",))
+    def rollout(state: CellDenseState, num_steps: int) -> CellDenseState:
+        f0 = forces_of(state)
+        (state, _), _ = jax.lax.scan(one_step, (state, f0), None, length=num_steps)
+        return state
+
+    @jax.jit
+    def energy(state: CellDenseState):
+        _, e, w = cell_dense_forces(state, model, config, compute_energy=True)
+        pe = jnp.sum(jnp.where(state.valid, e, 0.0))
+        vir = jnp.sum(jnp.where(state.valid, w, 0.0))
+        ke = 0.5 * jnp.sum(
+            jnp.where(
+                state.valid[..., None],
+                state.velocities**2 / jnp.maximum(state.inv_masses[..., None], 1e-30),
+                0.0,
+            )
+        )
+        return pe, vir, ke
+
+    return rollout, energy
+
+
+def gather_dense_atoms(state: CellDenseState, num_atoms: int):
+    """Slot layout → dense (N, …) arrays in original atom order (host)."""
+    ids = np.asarray(state.atom_id).reshape(-1)
+    keep = np.asarray(state.valid).reshape(-1)
+    pos = np.zeros((num_atoms, 3), np.float32)
+    vel = np.zeros((num_atoms, 3), np.float32)
+    pos[ids[keep]] = np.asarray(state.positions).reshape(-1, 3)[keep]
+    vel[ids[keep]] = np.asarray(state.velocities).reshape(-1, 3)[keep]
+    return pos, vel
