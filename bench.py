@@ -42,7 +42,7 @@ def main(n_target: int = 100_000, steps: int = 1000, report: bool = True) -> dic
     if bool(state.overflow):
         config = config._replace(capacity=config.capacity * 2)
         state = cell_dense_init(pos, vel, np.ones(n), params, config)
-    rollout, energy = make_cell_dense_sim(config, model, dt=0.005)
+    rollout, energy = make_cell_dense_sim(config, model, dt=0.005, backend="auto")
 
     # Equilibrate off-measurement; also warms the scan compile for `steps`.
     state = rollout(state, num_steps=200)

@@ -367,13 +367,42 @@ def _needs_rebin(state: CellDenseState, config: CellDenseConfig) -> jax.Array:
     return jnp.max(d2) > (0.5 * config.skin) ** 2
 
 
-def make_cell_dense_sim(config: CellDenseConfig, model: LennardJonesModel, dt: float):
-    """Build (init_forces, rollout, energy) closures for slot-space NVE."""
+def make_cell_dense_sim(
+    config: CellDenseConfig,
+    model: LennardJonesModel,
+    dt: float,
+    backend: str = "auto",
+):
+    """Build (rollout, energy) closures for slot-space NVE.
+
+    backend: 'xla' (portable dense rolls), 'pallas' (hand-written TPU kernel,
+    pallas_cell_kernel.py), 'pallas_interpret' (kernel in interpreter mode,
+    for CPU tests), or 'auto' (pallas on TPU-like backends, xla elsewhere).
+    """
     dt_f = jnp.float32(dt)
     box = jnp.float32(config.box)
 
-    def forces_of(state):
-        return cell_dense_forces(state, model, config)[0]
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+    if backend in ("pallas", "pallas_interpret"):
+        from emdee_tpu.neighbors.pallas_cell_kernel import pallas_cell_forces
+
+        interp = backend == "pallas_interpret"
+
+        def forces_of(state):
+            return pallas_cell_forces(state, model, config, interpret=interp)[0]
+
+        def energy_forces(state):
+            return pallas_cell_forces(
+                state, model, config, compute_energy=True, interpret=interp
+            )
+    else:
+
+        def forces_of(state):
+            return cell_dense_forces(state, model, config)[0]
+
+        def energy_forces(state):
+            return cell_dense_forces(state, model, config, compute_energy=True)
 
     def one_step(carry, _):
         # The half-kick velocity is written into the state *before* the rebin
@@ -401,7 +430,7 @@ def make_cell_dense_sim(config: CellDenseConfig, model: LennardJonesModel, dt: f
 
     @jax.jit
     def energy(state: CellDenseState):
-        _, e, w = cell_dense_forces(state, model, config, compute_energy=True)
+        _, e, w = energy_forces(state)
         pe = jnp.sum(jnp.where(state.valid, e, 0.0))
         vir = jnp.sum(jnp.where(state.valid, w, 0.0))
         ke = 0.5 * jnp.sum(

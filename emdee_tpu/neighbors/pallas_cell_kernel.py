@@ -1,0 +1,376 @@
+"""Pallas TPU kernel for the dense-cell LJ force pass.
+
+The hand-written successor to `cell_dense.cell_dense_forces` — the role
+`compute_tile!` plays in the reference (nonbonded.jl:44-107), re-imagined for
+TPU. Design:
+
+- **Everything lives in VMEM.** At 100k atoms the whole slot grid (positions,
+  params, forces) is ~14 MB — it fits on-chip, so the kernel reads HBM once
+  and the pair loop never touches it.  (The reference streams through global
+  memory with atomics; TPU VMEM makes the entire problem resident.)
+- **Ghost-padded grid, zero PBC math.**  XLA-side prep builds a (M+2)³ ghost
+  grid whose ghost cells are coordinate-shifted copies (±L), so the kernel
+  computes raw differences — no minimum-image rounds per pair (the reference
+  pays `minimum_image` per pair, nonbonded.jl:70).
+- **Pencil tiles.**  One grid program per (z, y) cell pencil.  A pencil's
+  pair tile is (C sublanes × M·C lanes): center atom a of every cell cx
+  against neighbor atom b of cell cx+dx, for a whole x-row at once —
+  x-neighborhoods become *contiguous lane windows* of the ghost row,
+  so the 27-cell stencil is 9 row reads × 3 lane windows.
+- **MXU segment reduction.**  Per-cell force sums are one (C, M·C)·(M·C, M)
+  block-diagonal matmul — the systolic array does the reduction for free.
+- **Newton's 3rd law without atomics.**  The TPU grid is sequential, so
+  reaction forces accumulate into a VMEM-resident ghost-layout buffer with
+  plain read-modify-write; ghost faces are folded back by XLA afterwards.
+  Half-shell stencil (13 offsets) + a self-cell pass = each cross-cell pair
+  is evaluated exactly once (the reference's action/reaction split,
+  cells.jl:38-44, without the linked lists).
+- **Sentinel masking.**  Empty slots are parked at distinct far-away
+  coordinates; the switching function's clamp then zeroes their energy and
+  force *exactly* — no mask tensors in the hot loop (the TPU answer to the
+  reference's undef-padding contract, nonbonded.jl:28-38).
+
+Numerics are float32 and bit-identical in structure to the reference's pair
+math (lennard_jones.jl:25-42) in true-cutoff mode.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from emdee_tpu.neighbors.cell_dense import CellDenseConfig, CellDenseState
+from emdee_tpu.potentials.lennard_jones import LennardJonesModel
+
+# Half-shell offsets (vz, vy, vx) lexicographically positive — each cross-cell
+# pair is visited exactly once.
+_HALF_SHELL = [
+    (dz, dy, dx)
+    for dz in (-1, 0, 1)
+    for dy in (-1, 0, 1)
+    for dx in (-1, 0, 1)
+    if (dz, dy, dx) > (0, 0, 0)
+]
+
+_FAR = 1.0e5  # sentinel distance scale for empty slots
+
+
+def _sentinel_positions(state: CellDenseState, config: CellDenseConfig):
+    """Replace empty-slot positions with distinct far-away coordinates so the
+    switching clamp zeroes their interactions exactly (no NaN, no masks)."""
+    ns = config.num_slots
+    slot_ids = jnp.arange(ns, dtype=jnp.float32).reshape(state.valid.shape)
+    far = _FAR + 7.0 * slot_ids  # ≥ 1 apart from each other and from the box
+    pos = jnp.where(state.valid[..., None], state.positions, far[..., None])
+    return pos
+
+
+def _ghost(arr: jax.Array, m: int, axis_shift=None, box: float = 0.0) -> jax.Array:
+    """(M, M, M, C[,3]) → (G, G, G, C[,3]) ghost padding with PBC copies.
+
+    axis_shift ∈ {0,1,2} marks which *coordinate* array this is (z, y, x),
+    whose ghost copies must be offset by ∓box along the wrap direction.
+    """
+
+    def pad(a, axis, coord_axis):
+        lo = jax.lax.slice_in_dim(a, a.shape[axis] - 1, a.shape[axis], axis=axis)
+        hi = jax.lax.slice_in_dim(a, 0, 1, axis=axis)
+        if axis_shift is not None and coord_axis == axis_shift:
+            lo = lo - box
+            hi = hi + box
+        return jnp.concatenate([lo, a, hi], axis=axis)
+
+    # axes: 0=z, 1=y, 2=x
+    arr = pad(arr, 2, 2)
+    arr = pad(arr, 1, 1)
+    arr = pad(arr, 0, 0)
+    return arr
+
+
+def _prep_inputs(state: CellDenseState, config: CellDenseConfig):
+    """XLA-side data prep: ghost rows + transposed center arrays."""
+    m, c = config.cells_per_dim, config.capacity
+    g = m + 2
+    pos = _sentinel_positions(state, config)
+    grid = lambda a: a.reshape(m, m, m, c)
+
+    gx = _ghost(grid(pos[..., 0]), m, axis_shift=2, box=config.box).reshape(g * g, g * c)
+    gy = _ghost(grid(pos[..., 1]), m, axis_shift=1, box=config.box).reshape(g * g, g * c)
+    gz = _ghost(grid(pos[..., 2]), m, axis_shift=0, box=config.box).reshape(g * g, g * c)
+    ghs = _ghost(grid(state.half_sigma), m).reshape(g * g, g * c)
+    gtse = _ghost(grid(state.twice_sqrt_eps), m).reshape(g * g, g * c)
+
+    # Centers as one stacked (M², 5·C, M) array: one (5C, M) pencil block per
+    # kernel program — Mosaic forbids dynamic lane-slicing at non-128 offsets
+    # so the pencil arrives as its own block, and stacking the five fields
+    # lets the kernel expand them with a single MXU matmul (small matmuls are
+    # latency-bound; batching them is the difference between 126 and ~9 MXU
+    # dispatches per program).
+    def center(a):
+        return a.reshape(m * m, m, c).transpose(0, 2, 1)  # (M², C, M)
+
+    centers = jnp.concatenate(
+        [
+            center(pos[..., 0]),
+            center(pos[..., 1]),
+            center(pos[..., 2]),
+            center(state.half_sigma),
+            center(state.twice_sqrt_eps),
+        ],
+        axis=1,
+    )  # (M², 5C, M)
+    return (gx, gy, gz, ghs, gtse, centers)
+
+
+def _fold_ghosts(react: jax.Array, m: int, c: int) -> jax.Array:
+    """(G², G·C) ghost-layout accumulator → (M³, C) interior with PBC folds."""
+    g = m + 2
+    r = react.reshape(g, g, g, c)
+
+    def fold(a, axis):
+        n = a.shape[axis]
+        lo_ghost = jax.lax.slice_in_dim(a, 0, 1, axis=axis)
+        hi_ghost = jax.lax.slice_in_dim(a, n - 1, n, axis=axis)
+        body = jax.lax.slice_in_dim(a, 1, n - 1, axis=axis)
+        # ghost x_g=0 ↔ interior x=M−1 (last); x_g=G−1 ↔ x=0 (first).
+        first = jax.lax.slice_in_dim(body, 0, 1, axis=axis) + hi_ghost
+        mid = jax.lax.slice_in_dim(body, 1, m - 1, axis=axis)
+        last = jax.lax.slice_in_dim(body, m - 1, m, axis=axis) + lo_ghost
+        return jnp.concatenate([first, mid, last], axis=axis)
+
+    r = fold(r, 2)
+    r = fold(r, 1)
+    r = fold(r, 0)
+    return r.reshape(m**3, c)
+
+
+def _make_kernel(config: CellDenseConfig, model_consts, compute_energy: bool):
+    m, c = config.cells_per_dim, config.capacity
+    g = m + 2
+    mc = m * c
+    rs2, invd2 = model_consts
+    n_out = 8 if compute_energy else 4
+
+    def kernel(gx, gy, gz, ghs, gtse, centers, *outs):
+        (fx, fy, fz, react) = outs[:4]
+        if compute_energy:
+            (e_out, w_out, er_out, wr_out) = outs[4:]
+        i = pl.program_id(0)
+        cz = i // m
+        cy = i - cz * m
+
+        @pl.when(i == 0)
+        def _zero():
+            react[:] = jnp.zeros_like(react)
+            if compute_energy:
+                er_out[:] = jnp.zeros_like(er_out)
+                wr_out[:] = jnp.zeros_like(wr_out)
+
+        # Static helpers.
+        lane_in_cell = jax.lax.broadcasted_iota(jnp.int32, (c, mc), 1) % c
+        sub_id = jax.lax.broadcasted_iota(jnp.int32, (c, mc), 0)
+        is_self = (lane_in_cell == sub_id).astype(jnp.float32)
+        seg = (
+            jax.lax.broadcasted_iota(jnp.int32, (mc, m), 0) // c
+            == jax.lax.broadcasted_iota(jnp.int32, (mc, m), 1)
+        ).astype(jnp.float32)
+
+        # Center tiles: (C, M) blocks → per-cell lane expansion (C, M·C),
+        # element [a, cx·C + k] = center[a, cx].  pltpu.repeat is *tiled*
+        # (abab…), not interleaved — do the interleave as one MXU matmul with
+        # a static 0/1 expansion matrix instead (free FLOPs, no relayout).
+        expand = (
+            jax.lax.broadcasted_iota(jnp.int32, (m, mc), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (m, mc), 1) // c
+        ).astype(jnp.float32)
+        # HIGHEST precision is load-bearing: the MXU multiplies in bf16 by
+        # default, which quantizes positions (~1e-3) — a center atom then
+        # misses its own ghost copy by a hair and 1/r² explodes.
+        mm = lambda a, b: jnp.dot(
+            a, b, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        )
+        # Per-cell segment reduction via MXU with a 0/1 matrix.  Mosaic's
+        # default f32 dot is a single bf16 pass (quantizes values) and HIGH
+        # is unimplemented — emulate f32 with a 3-term bf16 split (~24
+        # mantissa bits; the 0/1 seg matrix is exact in bf16).
+        seg_bf16 = seg.astype(jnp.bfloat16)
+
+        def segsum(t):
+            hi = t.astype(jnp.bfloat16)
+            rem = t - hi.astype(jnp.float32)
+            mid = rem.astype(jnp.bfloat16)
+            lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            out = jnp.dot(hi, seg_bf16, preferred_element_type=jnp.float32)
+            out += jnp.dot(mid, seg_bf16, preferred_element_type=jnp.float32)
+            out += jnp.dot(lo, seg_bf16, preferred_element_type=jnp.float32)
+            return out
+        cen_all = mm(centers[0], expand)  # one batched expansion: (5C, M·C)
+        cenx = cen_all[0:c]
+        ceny = cen_all[c : 2 * c]
+        cenz = cen_all[2 * c : 3 * c]
+        cenhs = cen_all[3 * c : 4 * c]
+        centse = cen_all[4 * c : 5 * c]
+
+        def pair_pass(dz, dy, dx, self_pass, acc):
+            fx_a, fy_a, fz_a, e_a, w_a = acc
+            row = (cz + dz + 1) * g + (cy + dy + 1)
+            win = (dx + 1) * c
+            nx = gx[pl.ds(row, 1), pl.ds(win, mc)]
+            ny = gy[pl.ds(row, 1), pl.ds(win, mc)]
+            nz = gz[pl.ds(row, 1), pl.ds(win, mc)]
+            nhs = ghs[pl.ds(row, 1), pl.ds(win, mc)]
+            ntse = gtse[pl.ds(row, 1), pl.ds(win, mc)]
+
+            dvx = cenx - nx
+            dvy = ceny - ny
+            dvz = cenz - nz
+            r2 = dvx * dvx + dvy * dvy + dvz * dvz
+            sig = cenhs + nhs
+            eps4 = centse * ntse
+            if self_pass:
+                eps4 = eps4 * (1.0 - is_self)
+                r2 = r2 + is_self
+            rinv = 1.0 / r2
+            s2 = sig * sig * rinv
+            s6 = s2 * s2 * s2
+            e4s6 = eps4 * s6
+            energy = e4s6 * (s6 - 1.0)
+            mrE = 6.0 * e4s6 * (2.0 * s6 - 1.0)
+            x = jnp.clip((r2 - rs2) * invd2, 0.0, 1.0)
+            x2 = x * x
+            gsw = 1.0 + x * x2 * (15.0 * x - 6.0 * x2 - 10.0)
+            one_m_x = 1.0 - x
+            mrg = (60.0 * invd2) * x2 * one_m_x * one_m_x * r2
+            tot = mrE * gsw + energy * mrg  # switched −r·dE/dr
+            gf = tot * rinv
+            gfx = gf * dvx
+            gfy = gf * dvy
+            gfz = gf * dvz
+
+            # Accumulate full pair tiles; ONE batched segment reduction at the
+            # end of the program (MXU dispatches are latency-bound).
+            fx_a += gfx
+            fy_a += gfy
+            fz_a += gfz
+            if compute_energy:
+                esw = energy * gsw
+                e_a += 0.5 * esw
+                w_a += 0.5 * tot
+            if not self_pass:
+                # Newton reaction onto the neighbor window.
+                rx = -jnp.sum(gfx, axis=0, keepdims=True)
+                ry = -jnp.sum(gfy, axis=0, keepdims=True)
+                rz = -jnp.sum(gfz, axis=0, keepdims=True)
+                react[pl.ds(row, 1), pl.ds(win, mc)] += rx
+                react[pl.ds(g * g + row, 1), pl.ds(win, mc)] += ry
+                react[pl.ds(2 * g * g + row, 1), pl.ds(win, mc)] += rz
+                if compute_energy:
+                    er_out[pl.ds(row, 1), pl.ds(win, mc)] += 0.5 * jnp.sum(
+                        esw, axis=0, keepdims=True
+                    )
+                    wr_out[pl.ds(row, 1), pl.ds(win, mc)] += 0.5 * jnp.sum(
+                        tot, axis=0, keepdims=True
+                    )
+            return (fx_a, fy_a, fz_a, e_a, w_a)
+
+        zero_tile = jnp.zeros((c, mc), jnp.float32)
+        acc = (zero_tile, zero_tile, zero_tile, zero_tile, zero_tile)
+        acc = pair_pass(0, 0, 0, True, acc)
+        for dz, dy, dx in _HALF_SHELL:
+            acc = pair_pass(dz, dy, dx, False, acc)
+
+        n_fields = 5 if compute_energy else 3
+        stacked = jnp.concatenate(acc[:n_fields], axis=0)  # (n·C, M·C)
+        reduced = segsum(stacked)  # (n·C, M)
+        fx[0] = reduced[0:c]
+        fy[0] = reduced[c : 2 * c]
+        fz[0] = reduced[2 * c : 3 * c]
+        if compute_energy:
+            e_out[0] = reduced[3 * c : 4 * c]
+            w_out[0] = reduced[4 * c : 5 * c]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("config", "compute_energy", "interpret"))
+def pallas_cell_forces(
+    state: CellDenseState,
+    model: LennardJonesModel,
+    config: CellDenseConfig,
+    *,
+    compute_energy: bool = False,
+    interpret: bool = False,
+):
+    """Drop-in replacement for `cell_dense_forces` (true-cutoff mode)."""
+    m, c = config.cells_per_dim, config.capacity
+    g = m + 2
+    mc = m * c
+    rs2 = float(config.switch) ** 2
+    rc2 = float(config.cutoff) ** 2
+    invd2 = 1.0 / (rc2 - rs2)
+
+    inputs = _prep_inputs(state, config)
+    kernel = _make_kernel(config, (rs2, invd2), compute_energy)
+
+    # Pallas TPU blocks must have their last dims 128-divisible or full —
+    # every operand is therefore a full-array VMEM block (they all fit;
+    # that's the point of this kernel) and pencils are sliced in-kernel.
+    ghost_spec = pl.BlockSpec((g * g, g * c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    center_spec = pl.BlockSpec((1, 5 * c, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_center = pl.BlockSpec((1, c, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_react = pl.BlockSpec((3 * g * g, g * c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_ghost1 = pl.BlockSpec((g * g, g * c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((m * m, c, m), jnp.float32),  # fx
+        jax.ShapeDtypeStruct((m * m, c, m), jnp.float32),  # fy
+        jax.ShapeDtypeStruct((m * m, c, m), jnp.float32),  # fz
+        jax.ShapeDtypeStruct((3 * g * g, g * c), jnp.float32),  # reaction xyz
+    ]
+    out_specs = [out_center, out_center, out_center, out_react]
+    if compute_energy:
+        out_shapes += [
+            jax.ShapeDtypeStruct((m * m, c, m), jnp.float32),  # e center
+            jax.ShapeDtypeStruct((m * m, c, m), jnp.float32),  # w center
+            jax.ShapeDtypeStruct((g * g, g * c), jnp.float32),  # e reaction
+            jax.ShapeDtypeStruct((g * g, g * c), jnp.float32),  # w reaction
+        ]
+        out_specs += [out_center, out_center, out_ghost1, out_ghost1]
+
+    call_kwargs = dict(
+        grid=(m * m,),
+        in_specs=[ghost_spec] * 5 + [center_spec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+    )
+    if interpret:
+        call_kwargs["interpret"] = True
+    else:
+        call_kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        )
+    outs = pl.pallas_call(kernel, **call_kwargs)(*inputs)
+
+    def uncenter(a):  # (M², C, M) → (M³, C)
+        return a.transpose(0, 2, 1).reshape(m**3, c)
+
+    fx, fy, fz, react = outs[:4]
+    forces = jnp.stack([uncenter(fx), uncenter(fy), uncenter(fz)], axis=-1)
+    react = react.reshape(3, g * g, g * c)
+    rfold = jnp.stack(
+        [_fold_ghosts(react[k], m, c) for k in range(3)], axis=-1
+    )  # (M³, C, 3)
+    forces = forces + rfold
+
+    if not compute_energy:
+        return forces, None, None
+    e_c, w_c, e_r, w_r = outs[4:]
+    energies = uncenter(e_c) + _fold_ghosts(e_r, m, c)
+    virials = uncenter(w_c) + _fold_ghosts(w_r, m, c)
+    return forces, energies, virials

@@ -22,7 +22,9 @@ try:
     import jax
     import jax._src.xla_bridge as _xb
 
-    for _name in [k for k in _xb._backend_factories if k != "cpu"]:
+    # Keep the stock 'tpu' factory: deleting it breaks pallas imports
+    # (platform-lowering registration); only third-party tunnels slow us.
+    for _name in [k for k in _xb._backend_factories if k not in ("cpu", "tpu")]:
         del _xb._backend_factories[_name]
     # jax may already be imported (site hooks), so the env var alone is too
     # late — update the latched config as well.

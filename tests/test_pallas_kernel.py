@@ -1,0 +1,75 @@
+"""Pallas dense-cell kernel tests (interpreter mode on CPU).
+
+The kernel's numerics are gated against the XLA dense engine and the f64
+oracle; on real TPU the same comparisons are re-run by bench tooling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emdee_tpu.neighbors.cell_dense import (
+    cell_dense_forces,
+    cell_dense_init,
+    gather_dense_atoms,
+    make_cell_dense_sim,
+    suggest_cell_dense_config,
+)
+from emdee_tpu.neighbors.pallas_cell_kernel import pallas_cell_forces
+from emdee_tpu.potentials.lennard_jones import LennardJonesModel, lennard_jones_atom
+from emdee_tpu.utils.lattice import cubic_lattice, maxwell_boltzmann
+
+
+def _setup(n=864, density=0.5, seed=3, jitter=0.15):
+    pos, L = cubic_lattice(n, density, jitter=jitter, seed=seed)
+    vel = maxwell_boltzmann(n, 1.0, seed=seed + 1)
+    params = lennard_jones_atom(np.ones(n), np.ones(n))
+    config = suggest_cell_dense_config(n, L, cutoff=2.5, switch=2.0, skin=0.3)
+    model = LennardJonesModel.create(2.5, 2.0)
+    st = cell_dense_init(pos, vel, np.ones(n), params, config)
+    return st, config, model, n
+
+
+def test_kernel_matches_xla_dense():
+    st, config, model, n = _setup()
+    f_ref, e_ref, w_ref = cell_dense_forces(st, model, config, compute_energy=True)
+    f_k, e_k, w_k = pallas_cell_forces(
+        st, model, config, compute_energy=True, interpret=True
+    )
+    valid = np.asarray(st.valid)
+    scale = np.abs(np.asarray(f_ref)[valid]).max()
+    np.testing.assert_allclose(
+        np.asarray(f_k)[valid], np.asarray(f_ref)[valid], atol=2e-5 * max(scale, 1.0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(e_k)[valid], np.asarray(e_ref)[valid], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(w_k)[valid], np.asarray(w_ref)[valid], rtol=1e-4, atol=2e-3
+    )
+
+
+def test_kernel_zero_on_empty_slots():
+    st, config, model, n = _setup()
+    f_k, e_k, _ = pallas_cell_forces(
+        st, model, config, compute_energy=True, interpret=True
+    )
+    invalid = ~np.asarray(st.valid)
+    np.testing.assert_array_equal(np.asarray(f_k)[invalid], 0.0)
+    np.testing.assert_array_equal(np.asarray(e_k)[invalid], 0.0)
+
+
+def test_sim_with_pallas_backend_matches_xla():
+    st, config, model, n = _setup(n=512, density=0.4)
+    roll_x, energy_x = make_cell_dense_sim(config, model, dt=0.002, backend="xla")
+    roll_p, energy_p = make_cell_dense_sim(
+        config, model, dt=0.002, backend="pallas_interpret"
+    )
+    sx = roll_x(st, num_steps=20)
+    sp = roll_p(st, num_steps=20)
+    px, _ = gather_dense_atoms(sx, n)
+    pp, _ = gather_dense_atoms(sp, n)
+    np.testing.assert_allclose(pp, px, atol=1e-4)
+    ex = [float(v) for v in energy_x(sx)]
+    ep = [float(v) for v in energy_p(sp)]
+    np.testing.assert_allclose(ep, ex, rtol=1e-4, atol=1e-3)
