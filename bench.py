@@ -20,6 +20,7 @@ import numpy as np
 
 def main(n_target: int = 100_000, steps: int = 1000, report: bool = True) -> dict:
     import jax
+    import jax.numpy as jnp
 
     from emdee_tpu.neighbors.cell_dense import (
         cell_dense_init,
@@ -34,7 +35,9 @@ def main(n_target: int = 100_000, steps: int = 1000, report: bool = True) -> dic
     n = pos.shape[0]
     vel = maxwell_boltzmann(n, 1.44, seed=0)
 
-    config = suggest_cell_dense_config(n, box, cutoff=2.5, switch=2.0, skin=0.3)
+    from emdee_tpu.neighbors.cell_dense import suggest_rebin_interval
+
+    config = suggest_cell_dense_config(n, box, cutoff=2.5, switch=2.0, skin=0.35)
     model = LennardJonesModel.create(2.5, 2.0)
     params = lennard_jones_atom(np.ones(n), np.ones(n))
 
@@ -44,14 +47,18 @@ def main(n_target: int = 100_000, steps: int = 1000, report: bool = True) -> dic
         state = cell_dense_init(pos, vel, np.ones(n), params, config)
     rollout, energy = make_cell_dense_sim(config, model, dt=0.005, backend="auto")
 
-    # Equilibrate off-measurement; also warms the scan compile for `steps`.
-    state = rollout(state, num_steps=200)
+    # Melt start: half the initial T*=1.44 kinetic energy converts to
+    # potential; the equilibrated T is ~0.7 — pick the rebin cadence for it.
+    rebin_every = suggest_rebin_interval(config.skin, 0.005, temperature=0.75)
+    # Equilibrate off-measurement (frequent rebins for the hot start).
+    state = rollout(state, num_steps=200, rebin_every=2)
+    state = state._replace(overflow=jnp.asarray(False))
     jax.block_until_ready(state.positions)
-    state_m = rollout(state, num_steps=steps)
+    state_m = rollout(state, num_steps=steps, rebin_every=rebin_every)
     jax.block_until_ready(state_m.positions)
 
     t0 = time.perf_counter()
-    state_m = rollout(state, num_steps=steps)
+    state_m = rollout(state, num_steps=steps, rebin_every=rebin_every)
     jax.block_until_ready(state_m.positions)
     elapsed = time.perf_counter() - t0
 

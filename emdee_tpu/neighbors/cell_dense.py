@@ -24,8 +24,10 @@ layout:
 Per-atom energy/virial conventions match the reference (half-split,
 nonbonded.jl:93-94): each computed pair contributes E/2 to both sides.
 
-Rebinning is displacement-triggered (skin/2 rule) inside `lax.cond`, so long
-`lax.scan` rollouts stay fully on device.
+Rebinning is blocked (every `rebin_every` steps inside the scan, with a
+skin/2 staleness check per block) rather than `lax.cond`-triggered: XLA:TPU
+lowers small conds to select, executing BOTH branches — a per-step cond rebin
+measured 5.3 ms/step of pure waste at 100k atoms.
 """
 
 from __future__ import annotations
@@ -96,6 +98,10 @@ def suggest_cell_dense_config(
             "use the all-pairs method for boxes this small"
         )
     mean_occ = num_atoms / m**3
+    # 3σ margin: dense-liquid occupancy fluctuations are sub-Poisson
+    # (repulsive cores anticorrelate; measured max 30 at mean 20 over long
+    # 100k-atom runs).  An overflowing cell trips the sticky flag rather
+    # than silently corrupting, and callers double capacity on retry.
     cap = int(np.ceil(mean_occ * capacity_multiplier + 3.0 * np.sqrt(mean_occ) + 1.0))
     cap = -(-cap // 8) * 8
     return CellDenseConfig(
@@ -107,6 +113,15 @@ def suggest_cell_dense_config(
         skin=skin,
         num_atoms=num_atoms,
     )
+
+
+def suggest_rebin_interval(
+    skin: float, dt: float, temperature: float, mass: float = 1.0, vmax_sigmas: float = 6.0
+) -> int:
+    """Steps between rebins such that even a `vmax_sigmas`-sigma atom stays
+    within skin/2 of its bin-time position: K = (skin/2) / (vmax·dt)."""
+    vmax = vmax_sigmas * np.sqrt(temperature / mass)
+    return max(1, int(np.floor(0.5 * skin / (vmax * dt))))
 
 
 def _half_shell_offsets() -> np.ndarray:
@@ -176,29 +191,62 @@ def _bin_to_slots(positions, per_atom, config: CellDenseConfig, valid=None):
 
 
 def _rebin(state: CellDenseState, config: CellDenseConfig) -> CellDenseState:
-    """Re-sort live slots into fresh cells (in-graph, fixed shapes)."""
-    flat_pos = state.positions.reshape(-1, 3)
-    per_atom = {
-        "positions": (flat_pos, 0.0),
-        "velocities": (state.velocities.reshape(-1, 3), 0.0),
-        "inv_masses": (state.inv_masses.reshape(-1), 0.0),
-        "half_sigma": (state.half_sigma.reshape(-1), 0.0),
-        "twice_sqrt_eps": (state.twice_sqrt_eps.reshape(-1), 0.0),
-        "atom_id": (state.atom_id.reshape(-1), config.num_slots),
-        "valid": (state.valid.reshape(-1), False),
-    }
-    out, overflow = _bin_to_slots(
-        flat_pos, per_atom, config, valid=state.valid.reshape(-1)
-    )
+    """Re-sort live slots into fresh cells (in-graph, fixed shapes).
+
+    Gather-formulated: TPU scatters to 200k random destinations measure
+    ~3.6 ms each while the equivalent gathers take ~0.65 ms, so instead of
+    scattering old slots to new ones, every NEW slot gathers its source —
+    src(new cell, rank) = order[start(cell) + rank] — and all float fields
+    ride one packed (slots, 9) gather.
+    """
+    m, c = config.cells_per_dim, config.capacity
+    num_cells = m**3
+    ns = config.num_slots
+    flat_pos = state.positions.reshape(ns, 3)
+    valid = state.valid.reshape(ns)
+
+    s = wrap_scaled(flat_pos / config.box)
+    v = jnp.clip(jnp.floor(m * s).astype(jnp.int32), 0, m - 1)
+    cell = v[:, 0] + m * (v[:, 1] + m * v[:, 2])
+    cell = jnp.where(valid, cell, num_cells)
+
+    order = jnp.argsort(cell, stable=True).astype(jnp.int32)
+    cell_sorted = cell[order]
+    # Scatter-free per-cell starts/counts from the sorted keys.
+    starts = jnp.searchsorted(cell_sorted, jnp.arange(num_cells + 1, dtype=jnp.int32))
+    counts = jnp.diff(jnp.concatenate([starts, jnp.asarray([ns], starts.dtype)]))[:num_cells]
+    overflow = jnp.max(counts) > c
+
+    slot_ids = jnp.arange(ns, dtype=jnp.int32)
+    new_cell = slot_ids // c
+    new_rank = slot_ids % c
+    new_valid = new_rank < counts[new_cell]
+    src_sorted_pos = jnp.minimum(starts[new_cell] + new_rank, ns - 1)
+    src = order[src_sorted_pos]
+
+    packed = jnp.concatenate(
+        [
+            flat_pos,
+            state.velocities.reshape(ns, 3),
+            state.inv_masses.reshape(ns, 1),
+            state.half_sigma.reshape(ns, 1),
+            state.twice_sqrt_eps.reshape(ns, 1),
+        ],
+        axis=1,
+    )  # (ns, 9)
+    moved = jnp.where(new_valid[:, None], packed[src], 0.0)
+    new_ids = jnp.where(new_valid, state.atom_id.reshape(ns)[src], config.num_slots)
+
+    new_pos = moved[:, 0:3].reshape(num_cells, c, 3)
     return CellDenseState(
-        positions=out["positions"],
-        velocities=out["velocities"],
-        inv_masses=jnp.where(out["valid"], out["inv_masses"], 0.0),
-        half_sigma=jnp.where(out["valid"], out["half_sigma"], 0.0),
-        twice_sqrt_eps=jnp.where(out["valid"], out["twice_sqrt_eps"], 0.0),
-        atom_id=jnp.where(out["valid"], out["atom_id"], config.num_slots),
-        valid=out["valid"],
-        ref_positions=out["positions"],
+        positions=new_pos,
+        velocities=moved[:, 3:6].reshape(num_cells, c, 3),
+        inv_masses=moved[:, 6].reshape(num_cells, c),
+        half_sigma=moved[:, 7].reshape(num_cells, c),
+        twice_sqrt_eps=moved[:, 8].reshape(num_cells, c),
+        atom_id=new_ids.reshape(num_cells, c),
+        valid=new_valid.reshape(num_cells, c),
+        ref_positions=new_pos,
         step=state.step,
         overflow=state.overflow | overflow,
     )
@@ -393,9 +441,10 @@ def make_cell_dense_sim(
             return pallas_cell_forces(state, model, config, interpret=interp)[0]
 
         def energy_forces(state):
-            return pallas_cell_forces(
-                state, model, config, compute_energy=True, interpret=interp
-            )
+            # Observables are off the hot path, and the kernel's energy
+            # variant needs 4 extra VMEM outputs (OOMs at large capacity) —
+            # use the portable XLA path for them.
+            return cell_dense_forces(state, model, config, compute_energy=True)
     else:
 
         def forces_of(state):
@@ -405,27 +454,50 @@ def make_cell_dense_sim(
             return cell_dense_forces(state, model, config, compute_energy=True)
 
     def one_step(carry, _):
-        # The half-kick velocity is written into the state *before* the rebin
-        # so a rebin permutes it together with positions/params and the second
-        # kick pairs each atom's v_half with its own new forces.
         state, forces = carry
         inv_m = state.inv_masses[..., None]
         v_half = state.velocities + (0.5 * dt_f) * forces * inv_m
         new_pos = wrap(state.positions + dt_f * v_half, box)
         new_pos = jnp.where(state.valid[..., None], new_pos, state.positions)
         state = state._replace(positions=new_pos, velocities=v_half)
-        state = jax.lax.cond(
-            _needs_rebin(state, config), lambda s: _rebin(s, config), lambda s: s, state
-        )
         new_forces = forces_of(state)
         new_vel = state.velocities + (0.5 * dt_f) * new_forces * state.inv_masses[..., None]
         state = state._replace(velocities=new_vel, step=state.step + 1)
         return (state, new_forces), None
 
-    @partial(jax.jit, static_argnames=("num_steps",))
-    def rollout(state: CellDenseState, num_steps: int) -> CellDenseState:
-        f0 = forces_of(state)
-        (state, _), _ = jax.lax.scan(one_step, (state, f0), None, length=num_steps)
+    @partial(jax.jit, static_argnames=("num_steps", "rebin_every"))
+    def rollout(
+        state: CellDenseState, num_steps: int, rebin_every: int = 10
+    ) -> CellDenseState:
+        """Blocked NVE rollout: rebin unconditionally every `rebin_every`
+        steps, then scan that many plain steps.
+
+        A per-step `lax.cond` rebin would be the natural spelling, but
+        XLA:TPU lowers small conds to select — BOTH branches execute and the
+        untaken rebin (argsort + scatters) dominated the step (measured 5.3
+        of 7.5 ms/step at 100k atoms).  Unconditional-but-amortized rebinning
+        plus a staleness check is both faster and still safe: if any atom
+        moved more than skin/2 within a block, the sticky `overflow` flag
+        trips and the caller re-runs with a smaller `rebin_every`.
+        """
+        blocks, rem = divmod(num_steps, rebin_every)
+
+        def block(st, _):
+            st = _rebin(st, config)
+            f = forces_of(st)
+            (st, _), _ = jax.lax.scan(one_step, (st, f), None, length=rebin_every)
+            # Staleness check: the block's steps ran on the bins made at the
+            # block start; flag if the skin/2 displacement bound was violated.
+            st = st._replace(overflow=st.overflow | _needs_rebin(st, config))
+            return st, None
+
+        if blocks:
+            state, _ = jax.lax.scan(block, state, None, length=blocks)
+        if rem:
+            state = _rebin(state, config)
+            f = forces_of(state)
+            (state, _), _ = jax.lax.scan(one_step, (state, f), None, length=rem)
+            state = state._replace(overflow=state.overflow | _needs_rebin(state, config))
         return state
 
     @jax.jit

@@ -82,11 +82,16 @@ def test_nve_conservation_with_rebinning():
     st = cell_dense_init(pos, vel, np.ones(n), params, config)
     rollout, energy = make_cell_dense_sim(config, model, dt=0.002)
     # Settle the violent jittered-lattice start (overlapping pairs make any
-    # f32 integrator bleed energy in the first tens of steps), then gate NVE
-    # conservation over the production window — where rebins actively fire.
-    st = rollout(st, num_steps=200)
+    # f32 integrator bleed energy in the first tens of steps — and atoms can
+    # outrun the skin between rebins, so rebin every step here), then gate
+    # NVE conservation over the production window.
+    st = rollout(st, num_steps=200, rebin_every=1)
+    st = st._replace(overflow=jnp.asarray(False))  # clear settle-phase staleness
     pe0, w0, ke0 = (float(x) for x in energy(st))
-    st = rollout(st, num_steps=500)
+    from emdee_tpu.neighbors.cell_dense import suggest_rebin_interval
+
+    k = suggest_rebin_interval(config.skin, 0.002, temperature=2.0 * ke0 / (3 * n))
+    st = rollout(st, num_steps=500, rebin_every=k)
     assert not bool(st.overflow)
     assert int(st.step) == 700
     pe1, w1, ke1 = (float(x) for x in energy(st))
