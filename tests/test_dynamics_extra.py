@@ -1,0 +1,71 @@
+"""Langevin NVT and observability tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emdee_tpu.core.types import State, make_state
+from emdee_tpu.dynamics.langevin import nvt_rollout
+from emdee_tpu.dynamics.observables import temperature
+from emdee_tpu.neighbors.api import NonbondedConfig, make_force_fn
+from emdee_tpu.potentials.lennard_jones import lennard_jones_atom
+from emdee_tpu.utils.lattice import cubic_lattice, maxwell_boltzmann
+from emdee_tpu.utils.observability import ThroughputMeter, check_finite, guard_energy
+
+
+def test_langevin_thermostats_to_target():
+    """Start cold (T=0.2), thermostat at T*=1.0 → mean T near 1.0."""
+    n = 343
+    pos, L = cubic_lattice(n, 0.6, jitter=0.05, seed=9)
+    state = make_state(pos, maxwell_boltzmann(n, 0.2, seed=10), box=L)
+    state = state._replace(rng=jax.random.PRNGKey(0))
+    nb = make_force_fn(
+        NonbondedConfig(cutoff=2.5, switch=2.0, method="allpairs"),
+        lennard_jones_atom(np.ones(n), np.ones(n)), L, n,
+    )
+    final, _, traj = nvt_rollout(
+        state, (), nb.force_fn, dt=0.004, friction=2.0, temperature=1.0,
+        num_steps=1500, record_every=100,
+    )
+    temps = 2.0 * np.asarray(traj.kinetic_energy) / (3.0 * n)
+    # Discard the first records (equilibration), then check the mean.
+    assert abs(temps[5:].mean() - 1.0) < 0.12, temps
+
+
+def test_langevin_requires_rng():
+    n = 27
+    pos, L = cubic_lattice(n, 0.3, seed=1)
+    state = make_state(pos, box=L)  # rng=None
+    nb = make_force_fn(
+        NonbondedConfig(cutoff=2.0, switch=1.5, method="allpairs"),
+        lennard_jones_atom(np.ones(n), np.ones(n)), L, n,
+    )
+    from emdee_tpu.dynamics.langevin import langevin_baoab_step
+
+    f, _ = nb.force_fn(state.positions, state.box, ())
+    with pytest.raises(ValueError, match="rng"):
+        langevin_baoab_step(state, f, (), nb.force_fn, 0.002, 1.0, 1.0)
+
+
+def test_check_finite_catches_nan():
+    good = make_state(np.zeros((4, 3)), box=5.0)
+    check_finite(good)  # no raise
+    bad = good._replace(positions=good.positions.at[1, 2].set(jnp.nan))
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        check_finite(bad)
+
+
+def test_guard_energy():
+    assert guard_energy(None, -100.0) == -100.0
+    assert guard_energy(-100.0, -99.0) == -99.0
+    with pytest.raises(FloatingPointError, match="energy jumped"):
+        guard_energy(-100.0, 50.0)
+
+
+def test_throughput_meter():
+    meter = ThroughputMeter(num_atoms=1000)
+    meter.start()
+    stats = meter.update(10)
+    assert stats["steps"] == 10
+    assert stats["atom_steps_per_s"] > 0
