@@ -190,14 +190,25 @@ def _bin_to_slots(positions, per_atom, config: CellDenseConfig, valid=None):
     return out, overflow
 
 
-def _rebin(state: CellDenseState, config: CellDenseConfig) -> CellDenseState:
+def _rebin(
+    state: CellDenseState, config: CellDenseConfig, forces: Optional[jax.Array] = None
+):
     """Re-sort live slots into fresh cells (in-graph, fixed shapes).
 
-    Gather-formulated: TPU scatters to 200k random destinations measure
-    ~3.6 ms each while the equivalent gathers take ~0.65 ms, so instead of
-    scattering old slots to new ones, every NEW slot gathers its source —
-    src(new cell, rank) = order[start(cell) + rank] — and all float fields
-    ride one packed (slots, 9) gather.
+    Gather-formulated and gather-minimized: TPU scatters to 200k random
+    destinations measure ~3.6 ms and even gathers are per-element-bound
+    (~0.65 ms each), so
+
+    - every NEW slot gathers its source — src(cell, rank) =
+      order[start(cell) + rank] — instead of old slots scattering,
+    - per-cell starts/counts come from `searchsorted` on the sorted keys and
+      are expanded with structured `repeat`s (no cell-indexed gathers),
+    - every per-slot field (incl. int32 atom ids, bitcast to f32, and
+      optionally the current forces) rides ONE packed (slots, 10|13) gather.
+
+    When `forces` is given, returns (state, permuted_forces) so a blocked
+    rollout can keep integrating without re-evaluating forces after the
+    permutation.
     """
     m, c = config.cells_per_dim, config.capacity
     num_cells = m**3
@@ -213,32 +224,39 @@ def _rebin(state: CellDenseState, config: CellDenseConfig) -> CellDenseState:
     order = jnp.argsort(cell, stable=True).astype(jnp.int32)
     cell_sorted = cell[order]
     # Scatter-free per-cell starts/counts from the sorted keys.
-    starts = jnp.searchsorted(cell_sorted, jnp.arange(num_cells + 1, dtype=jnp.int32))
-    counts = jnp.diff(jnp.concatenate([starts, jnp.asarray([ns], starts.dtype)]))[:num_cells]
+    starts = jnp.searchsorted(
+        cell_sorted, jnp.arange(num_cells + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
     overflow = jnp.max(counts) > c
 
-    slot_ids = jnp.arange(ns, dtype=jnp.int32)
-    new_cell = slot_ids // c
-    new_rank = slot_ids % c
-    new_valid = new_rank < counts[new_cell]
-    src_sorted_pos = jnp.minimum(starts[new_cell] + new_rank, ns - 1)
+    new_rank = jnp.tile(jnp.arange(c, dtype=jnp.int32), num_cells)
+    starts_rep = jnp.repeat(starts[:num_cells], c)  # structured, not a gather
+    counts_rep = jnp.repeat(counts, c)
+    new_valid = new_rank < counts_rep
+    src_sorted_pos = jnp.minimum(starts_rep + new_rank, ns - 1)
     src = order[src_sorted_pos]
 
-    packed = jnp.concatenate(
-        [
-            flat_pos,
-            state.velocities.reshape(ns, 3),
-            state.inv_masses.reshape(ns, 1),
-            state.half_sigma.reshape(ns, 1),
-            state.twice_sqrt_eps.reshape(ns, 1),
-        ],
-        axis=1,
-    )  # (ns, 9)
+    fields = [
+        flat_pos,
+        state.velocities.reshape(ns, 3),
+        state.inv_masses.reshape(ns, 1),
+        state.half_sigma.reshape(ns, 1),
+        state.twice_sqrt_eps.reshape(ns, 1),
+        jax.lax.bitcast_convert_type(state.atom_id.reshape(ns, 1), jnp.float32),
+    ]
+    if forces is not None:
+        fields.append(forces.reshape(ns, 3))
+    packed = jnp.concatenate(fields, axis=1)
     moved = jnp.where(new_valid[:, None], packed[src], 0.0)
-    new_ids = jnp.where(new_valid, state.atom_id.reshape(ns)[src], config.num_slots)
+    new_ids = jnp.where(
+        new_valid,
+        jax.lax.bitcast_convert_type(moved[:, 9], jnp.int32),
+        config.num_slots,
+    )
 
     new_pos = moved[:, 0:3].reshape(num_cells, c, 3)
-    return CellDenseState(
+    new_state = CellDenseState(
         positions=new_pos,
         velocities=moved[:, 3:6].reshape(num_cells, c, 3),
         inv_masses=moved[:, 6].reshape(num_cells, c),
@@ -250,6 +268,9 @@ def _rebin(state: CellDenseState, config: CellDenseConfig) -> CellDenseState:
         step=state.step,
         overflow=state.overflow | overflow,
     )
+    if forces is None:
+        return new_state
+    return new_state, moved[:, 10:13].reshape(num_cells, c, 3)
 
 
 def cell_dense_init(
@@ -482,23 +503,27 @@ def make_cell_dense_sim(
         """
         blocks, rem = divmod(num_steps, rebin_every)
 
-        def block(st, _):
-            st = _rebin(st, config)
-            f = forces_of(st)
-            (st, _), _ = jax.lax.scan(one_step, (st, f), None, length=rebin_every)
+        def block(carry, _):
+            st, f = carry
+            # The permutation carries the current forces along, so no extra
+            # force evaluation is needed after a rebin.
+            st, f = _rebin(st, config, forces=f)
+            (st, f), _ = jax.lax.scan(one_step, (st, f), None, length=rebin_every)
             # Staleness check: the block's steps ran on the bins made at the
             # block start; flag if the skin/2 displacement bound was violated.
             st = st._replace(overflow=st.overflow | _needs_rebin(st, config))
-            return st, None
+            return (st, f), None
 
+        f0 = forces_of(state)
+        carry = (state, f0)
         if blocks:
-            state, _ = jax.lax.scan(block, state, None, length=blocks)
+            carry, _ = jax.lax.scan(block, carry, None, length=blocks)
         if rem:
-            state = _rebin(state, config)
-            f = forces_of(state)
-            (state, _), _ = jax.lax.scan(one_step, (state, f), None, length=rem)
-            state = state._replace(overflow=state.overflow | _needs_rebin(state, config))
-        return state
+            st, f = _rebin(carry[0], config, forces=carry[1])
+            (st, f), _ = jax.lax.scan(one_step, (st, f), None, length=rem)
+            st = st._replace(overflow=st.overflow | _needs_rebin(st, config))
+            carry = (st, f)
+        return carry[0]
 
     @jax.jit
     def energy(state: CellDenseState):

@@ -150,12 +150,13 @@ def _fold_ghosts(react: jax.Array, m: int, c: int) -> jax.Array:
     return r.reshape(m**3, c)
 
 
-def _make_kernel(config: CellDenseConfig, model_consts, compute_energy: bool):
+def _make_kernel(
+    config: CellDenseConfig, model_consts, compute_energy: bool, interpret: bool = False
+):
     m, c = config.cells_per_dim, config.capacity
     g = m + 2
     mc = m * c
     rs2, invd2 = model_consts
-    n_out = 8 if compute_energy else 4
 
     def kernel(gx, gy, gz, ghs, gtse, centers, *outs):
         (fx, fy, fz, react) = outs[:4]
@@ -236,7 +237,10 @@ def _make_kernel(config: CellDenseConfig, model_consts, compute_energy: bool):
             if self_pass:
                 eps4 = eps4 * (1.0 - is_self)
                 r2 = r2 + is_self
-            rinv = 1.0 / r2
+            # Approximate reciprocal + one Newton step ≈ full f32 accuracy
+            # (2⁻²⁴ rel) at a fraction of a true divide's latency.
+            r0 = pl.reciprocal(r2, approx=True) if not interpret else 1.0 / r2
+            rinv = r0 * (2.0 - r2 * r0)
             s2 = sig * sig * rinv
             s6 = s2 * s2 * s2
             e4s6 = eps4 * s6
@@ -262,28 +266,42 @@ def _make_kernel(config: CellDenseConfig, model_consts, compute_energy: bool):
                 esw = energy * gsw
                 e_a += 0.5 * esw
                 w_a += 0.5 * tot
+            reaction = None
             if not self_pass:
-                # Newton reaction onto the neighbor window.
-                rx = -jnp.sum(gfx, axis=0, keepdims=True)
-                ry = -jnp.sum(gfy, axis=0, keepdims=True)
-                rz = -jnp.sum(gfz, axis=0, keepdims=True)
-                react[pl.ds(row, 1), pl.ds(win, mc)] += rx
-                react[pl.ds(g * g + row, 1), pl.ds(win, mc)] += ry
-                react[pl.ds(2 * g * g + row, 1), pl.ds(win, mc)] += rz
+                # Newton reaction sums over the center axis, padded out to the
+                # full ghost row at this dx's lane window (full-row writes are
+                # aligned; per-window RMWs would each pay lane rotations).
+                def row_pad(t):
+                    return jnp.pad(
+                        -jnp.sum(t, axis=0, keepdims=True), ((0, 0), (win, g * c - win - mc))
+                    )
+
+                reaction = (row_pad(gfx), row_pad(gfy), row_pad(gfz))
                 if compute_energy:
-                    er_out[pl.ds(row, 1), pl.ds(win, mc)] += 0.5 * jnp.sum(
-                        esw, axis=0, keepdims=True
-                    )
-                    wr_out[pl.ds(row, 1), pl.ds(win, mc)] += 0.5 * jnp.sum(
-                        tot, axis=0, keepdims=True
-                    )
-            return (fx_a, fy_a, fz_a, e_a, w_a)
+                    reaction += (row_pad(-0.5 * esw), row_pad(-0.5 * tot))
+            return (fx_a, fy_a, fz_a, e_a, w_a), reaction
 
         zero_tile = jnp.zeros((c, mc), jnp.float32)
         acc = (zero_tile, zero_tile, zero_tile, zero_tile, zero_tile)
-        acc = pair_pass(0, 0, 0, True, acc)
+        acc, _ = pair_pass(0, 0, 0, True, acc)
+        # Group the half-shell by (dz, dy): the 3 dx-windows of one ghost row
+        # combine into a single read-modify-write per row (5 rows, not 13).
+        by_row = {}
         for dz, dy, dx in _HALF_SHELL:
-            acc = pair_pass(dz, dy, dx, False, acc)
+            by_row.setdefault((dz, dy), []).append(dx)
+        for (dz, dy), dxs in by_row.items():
+            row = (cz + dz + 1) * g + (cy + dy + 1)
+            parts = []
+            for dx in dxs:
+                acc, reaction = pair_pass(dz, dy, dx, False, acc)
+                parts.append(reaction)
+            combined = [sum(p[k] for p in parts) for k in range(len(parts[0]))]
+            react[pl.ds(row, 1), :] += combined[0]
+            react[pl.ds(g * g + row, 1), :] += combined[1]
+            react[pl.ds(2 * g * g + row, 1), :] += combined[2]
+            if compute_energy:
+                er_out[pl.ds(row, 1), :] += combined[3]
+                wr_out[pl.ds(row, 1), :] += combined[4]
 
         n_fields = 5 if compute_energy else 3
         stacked = jnp.concatenate(acc[:n_fields], axis=0)  # (n·C, M·C)
@@ -316,7 +334,7 @@ def pallas_cell_forces(
     invd2 = 1.0 / (rc2 - rs2)
 
     inputs = _prep_inputs(state, config)
-    kernel = _make_kernel(config, (rs2, invd2), compute_energy)
+    kernel = _make_kernel(config, (rs2, invd2), compute_energy, interpret)
 
     # Pallas TPU blocks must have their last dims 128-divisible or full —
     # every operand is therefore a full-array VMEM block (they all fit;
