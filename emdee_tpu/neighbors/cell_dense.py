@@ -474,6 +474,19 @@ def make_cell_dense_sim(
         def energy_forces(state):
             return cell_dense_forces(state, model, config, compute_energy=True)
 
+    def energy_of(st: CellDenseState):
+        _, e, w = energy_forces(st)
+        pe = jnp.sum(jnp.where(st.valid, e, 0.0))
+        vir = jnp.sum(jnp.where(st.valid, w, 0.0))
+        ke = 0.5 * jnp.sum(
+            jnp.where(
+                st.valid[..., None],
+                st.velocities**2 / jnp.maximum(st.inv_masses[..., None], 1e-30),
+                0.0,
+            )
+        )
+        return pe, vir, ke
+
     def one_step(carry, _):
         state, forces = carry
         inv_m = state.inv_masses[..., None]
@@ -486,10 +499,13 @@ def make_cell_dense_sim(
         state = state._replace(velocities=new_vel, step=state.step + 1)
         return (state, new_forces), None
 
-    @partial(jax.jit, static_argnames=("num_steps", "rebin_every"))
+    @partial(jax.jit, static_argnames=("num_steps", "rebin_every", "record"))
     def rollout(
-        state: CellDenseState, num_steps: int, rebin_every: int = 10
-    ) -> CellDenseState:
+        state: CellDenseState,
+        num_steps: int,
+        rebin_every: int = 10,
+        record: bool = False,
+    ):
         """Blocked NVE rollout: rebin unconditionally every `rebin_every`
         steps, then scan that many plain steps.
 
@@ -500,8 +516,15 @@ def make_cell_dense_sim(
         plus a staleness check is both faster and still safe: if any atom
         moved more than skin/2 within a block, the sticky `overflow` flag
         trips and the caller re-runs with a smaller `rebin_every`.
+
+        With record=True, returns (state, records) where records holds
+        per-block (step, potential, virial, kinetic) scalars.
         """
         blocks, rem = divmod(num_steps, rebin_every)
+
+        def observables(st):
+            pe, vir, ke = energy_of(st)
+            return (st.step, pe, vir, ke)
 
         def block(carry, _):
             st, f = carry
@@ -512,32 +535,23 @@ def make_cell_dense_sim(
             # Staleness check: the block's steps ran on the bins made at the
             # block start; flag if the skin/2 displacement bound was violated.
             st = st._replace(overflow=st.overflow | _needs_rebin(st, config))
-            return (st, f), None
+            return (st, f), (observables(st) if record else None)
 
         f0 = forces_of(state)
         carry = (state, f0)
+        records = None
         if blocks:
-            carry, _ = jax.lax.scan(block, carry, None, length=blocks)
+            carry, records = jax.lax.scan(block, carry, None, length=blocks)
         if rem:
             st, f = _rebin(carry[0], config, forces=carry[1])
             (st, f), _ = jax.lax.scan(one_step, (st, f), None, length=rem)
             st = st._replace(overflow=st.overflow | _needs_rebin(st, config))
             carry = (st, f)
+        if record:
+            return carry[0], records
         return carry[0]
 
-    @jax.jit
-    def energy(state: CellDenseState):
-        _, e, w = energy_forces(state)
-        pe = jnp.sum(jnp.where(state.valid, e, 0.0))
-        vir = jnp.sum(jnp.where(state.valid, w, 0.0))
-        ke = 0.5 * jnp.sum(
-            jnp.where(
-                state.valid[..., None],
-                state.velocities**2 / jnp.maximum(state.inv_masses[..., None], 1e-30),
-                0.0,
-            )
-        )
-        return pe, vir, ke
+    energy = jax.jit(energy_of)
 
     return rollout, energy
 
