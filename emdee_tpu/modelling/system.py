@@ -80,9 +80,16 @@ class System:
         eps = np.array([nb[t]["epsilon"] for t in self.ff_types])
         return lennard_jones_atom(eps, sigma)
 
-    def exclusions(self, pad_to: Optional[int] = None):
+    def exclusions(self, pad_to: Optional[int] = None, coulomb: bool = False):
+        """(pairs, lj_scales) — or (pairs, lj_scales, coulomb_scales) with
+        coulomb=True (independent coulomb14scale, modelling.jl:198-200)."""
         lj14 = self.force_field.lj14_scale if self.force_field else 1.0
-        return exclusion_table(len(self), self.bonds, lj14, pad_to=pad_to)
+        pairs, lj_scales = exclusion_table(len(self), self.bonds, lj14, pad_to=pad_to)
+        if not coulomb:
+            return pairs, lj_scales
+        c14 = self.force_field.coulomb14_scale if self.force_field else 1.0
+        _, coulomb_scales = exclusion_table(len(self), self.bonds, c14, pad_to=pad_to)
+        return pairs, lj_scales, coulomb_scales
 
     def make_state(self, velocities=None, dtype=None):
         import jax.numpy as jnp

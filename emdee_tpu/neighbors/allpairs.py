@@ -43,6 +43,8 @@ def compute_nonbonded_allpairs(
     model: LennardJonesModel,
     params: LJParams,
     mask: Optional[jax.Array] = None,
+    charges: Optional[jax.Array] = None,
+    coulomb=None,
     *,
     outputs: int = ALL_OUTPUTS,
     parity_mode: bool = False,
@@ -56,6 +58,8 @@ def compute_nonbonded_allpairs(
       model: LJ model constants.
       params: per-atom (σ/2, 2√ε).
       mask: optional (N,) bool; False rows are inert padding.
+      charges: optional (N,) per-atom charges — adds DSF Coulomb terms.
+      coulomb: DSFCoulomb model constants (required with charges).
       outputs: static bitmask FORCES|ENERGIES|VIRIALS (nonbonded.jl:12-14).
       parity_mode: reproduce the reference's beyond-cutoff quirk (see
         potentials.lennard_jones).
@@ -67,6 +71,7 @@ def compute_nonbonded_allpairs(
     hs = params.half_sigma.astype(dtype)
     tse = params.twice_sqrt_eps.astype(dtype)
     valid = jnp.ones((n,), bool) if mask is None else mask
+    q = charges.astype(dtype) if charges is not None else None
 
     # Pad rows so the block sweep has a static uniform shape.
     n_pad = _round_up(max(n, 1), row_chunk)
@@ -75,6 +80,7 @@ def compute_nonbonded_allpairs(
     hs_p = jnp.pad(hs, (0, pad))
     tse_p = jnp.pad(tse, (0, pad))
     valid_p = jnp.pad(valid, (0, pad))
+    q_p = jnp.pad(q, (0, pad)) if q is not None else None
     row_ids = jnp.arange(n_pad, dtype=jnp.int32)
 
     def row_block(block_start):
@@ -93,6 +99,15 @@ def compute_nonbonded_allpairs(
             r2_safe, model, hs_i[:, None], tse_i[:, None], hs[None, :], tse[None, :],
             parity_mode=parity_mode,
         )
+        if q is not None:
+            from emdee_tpu.potentials.coulomb import coulomb_interaction
+
+            q_i = jax.lax.dynamic_slice_in_dim(q_p, block_start, row_chunk)
+            e_c, mre_c = coulomb_interaction(
+                r2_safe, coulomb, q_i[:, None], q[None, :]
+            )
+            energy = energy + e_c
+            minus_rE = minus_rE + mre_c
         energy = jnp.where(pair_ok, energy, 0.0)
         minus_rE = jnp.where(pair_ok, minus_rE, 0.0)
 

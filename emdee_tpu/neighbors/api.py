@@ -60,6 +60,8 @@ class NonbondedConfig:
     neighbor_multiplier: float = 1.4
     max_neighbors: Optional[int] = None  # None → density estimate
     parity_mode: bool = False  # reproduce the reference's beyond-rc quirk
+    coulomb_alpha: float = 0.2  # DSF damping (used when charges are given)
+    coulomb_constant: float = 1.0  # e²/4πε0 in simulation units
 
     def __post_init__(self):
         if self.switch >= self.cutoff:
@@ -96,20 +98,38 @@ def make_force_fn(
     num_atoms: int,
     exclusion_pairs: Optional[jax.Array] = None,
     exclusion_scales: Optional[jax.Array] = None,
+    charges: Optional[jax.Array] = None,
+    exclusion_scales_coulomb: Optional[jax.Array] = None,
 ) -> Nonbonded:
-    """Build the nonbonded bundle for a fixed (box, N) problem shape."""
+    """Build the nonbonded bundle for a fixed (box, N) problem shape.
+
+    With `charges`, DSF Coulomb electrostatics (potentials/coulomb.py) are
+    added to every pair evaluation, with independent 1-4 scaling via
+    `exclusion_scales_coulomb`."""
     model = LennardJonesModel.create(config.cutoff, config.switch)
     method = resolve_method(config, box, num_atoms)
     has_exclusions = exclusion_pairs is not None and exclusion_pairs.shape[0] > 0
     if has_exclusions and exclusion_scales is None:
         exclusion_scales = jnp.zeros(exclusion_pairs.shape[0], jnp.float32)
+    coulomb = None
+    if charges is not None:
+        from emdee_tpu.potentials.coulomb import DSFCoulomb
+
+        charges = jnp.asarray(charges, jnp.float32)
+        coulomb = DSFCoulomb.create(
+            config.cutoff, config.coulomb_alpha, config.coulomb_constant
+        )
+        if config.parity_mode:
+            raise ValueError("parity_mode is LJ-only (the reference has no electrostatics)")
 
     def _correct(out, positions, outputs):
         if not has_exclusions:
             return out
         return apply_exclusion_corrections(
             out, positions, jnp.asarray(box, positions.dtype), model, params,
-            exclusion_pairs, exclusion_scales, outputs=outputs,
+            exclusion_pairs, exclusion_scales,
+            charges, coulomb, exclusion_scales_coulomb,
+            outputs=outputs,
         )
 
     if method == "allpairs":
@@ -120,6 +140,7 @@ def make_force_fn(
         def compute(positions, aux=(), *, outputs=ALL_OUTPUTS):
             out = compute_nonbonded_allpairs(
                 positions, jnp.asarray(box, positions.dtype), model, params,
+                None, charges, coulomb,
                 outputs=outputs, parity_mode=config.parity_mode,
             )
             return _correct(out, positions, outputs)
@@ -129,8 +150,8 @@ def make_force_fn(
 
         def force_fn(positions, box_, aux=()):
             out = compute_nonbonded_allpairs(
-                positions, box_, model, params, outputs=FORCES,
-                parity_mode=config.parity_mode,
+                positions, box_, model, params, None, charges, coulomb,
+                outputs=FORCES, parity_mode=config.parity_mode,
             )
             return _correct(out, positions, FORCES).forces, aux
 
@@ -151,9 +172,11 @@ def make_force_fn(
     )
 
     if method == "pallas":
-        from emdee_tpu.neighbors.pallas_kernel import compute_nonbonded_pallas as _pair_pass
-    else:
-        _pair_pass = compute_nonbonded_neighborlist
+        raise ValueError(
+            "the Pallas production path is the dense-cell engine — use "
+            "emdee_tpu.neighbors.cell_dense.make_cell_dense_sim(backend='pallas')"
+        )
+    _pair_pass = compute_nonbonded_neighborlist
 
     def _build(positions, cap_cell, cap_nbrs):
         return build_neighbor_list(
@@ -188,13 +211,15 @@ def make_force_fn(
     def compute(positions, nbrs: NeighborList, *, outputs=ALL_OUTPUTS):
         out = _pair_pass(
             positions, jnp.asarray(box, positions.dtype), model, params, nbrs,
-            outputs=outputs,
+            charges, coulomb, outputs=outputs,
         )
         return _correct(out, positions, outputs)
 
     def force_fn(positions, box_, nbrs: NeighborList):
         nbrs = update(positions, nbrs)
-        out = _pair_pass(positions, box_, model, params, nbrs, outputs=FORCES)
+        out = _pair_pass(
+            positions, box_, model, params, nbrs, charges, coulomb, outputs=FORCES
+        )
         return _correct(out, positions, FORCES).forces, nbrs
 
     return Nonbonded(config, model, init, compute, update, force_fn)

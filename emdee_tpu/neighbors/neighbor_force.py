@@ -34,6 +34,8 @@ def compute_nonbonded_neighborlist(
     model: LennardJonesModel,
     params: LJParams,
     nbrs: NeighborList,
+    charges=None,
+    coulomb=None,
     *,
     outputs: int = ALL_OUTPUTS,
     atom_chunk: int = 8192,
@@ -54,11 +56,14 @@ def compute_nonbonded_neighborlist(
     scaled_ext = jnp.concatenate([scaled, jnp.zeros((1, 3), dtype)], axis=0)
     hs_ext = jnp.concatenate([hs, jnp.zeros((1,), dtype)])
     tse_ext = jnp.concatenate([tse, jnp.zeros((1,), dtype)])
+    q = charges.astype(dtype) if charges is not None else None
+    q_ext = jnp.concatenate([q, jnp.zeros((1,), dtype)]) if q is not None else None
 
     n_pad = -(-n // atom_chunk) * atom_chunk
     scaled_pad = jnp.pad(scaled, ((0, n_pad - n), (0, 0)))
     hs_pad = jnp.pad(hs, (0, n_pad - n))
     tse_pad = jnp.pad(tse, (0, n_pad - n))
+    q_pad = jnp.pad(q, (0, n_pad - n)) if q is not None else None
     idx_pad = jnp.pad(nbrs.idx, ((0, n_pad - n), (0, 0)), constant_values=n)
 
     def block(start):
@@ -74,6 +79,13 @@ def compute_nonbonded_neighborlist(
         energy, minus_rE = pair_interaction(
             r2_safe, model, hs_i[:, None], tse_i[:, None], hs_ext[jdx], tse_ext[jdx]
         )
+        if q is not None:
+            from emdee_tpu.potentials.coulomb import coulomb_interaction
+
+            q_i = jax.lax.dynamic_slice_in_dim(q_pad, start, atom_chunk)
+            e_c, mre_c = coulomb_interaction(r2_safe, coulomb, q_i[:, None], q_ext[jdx])
+            energy = energy + e_c
+            minus_rE = minus_rE + mre_c
         energy = jnp.where(valid, energy, 0.0)
         minus_rE = jnp.where(valid, minus_rE, 0.0)
         out = []
@@ -110,6 +122,9 @@ def apply_exclusion_corrections(
     params: LJParams,
     exclusion_pairs: jax.Array,  # (P, 2) int32, i≠j; may contain (n, n) padding
     exclusion_scales: jax.Array,  # (P,) float32 — 0 for full exclusion, lj14scale for 1-4
+    charges: jax.Array = None,
+    coulomb=None,
+    exclusion_scales_coulomb: jax.Array = None,  # (P,) — coulomb14scale for 1-4
     *,
     outputs: int = ALL_OUTPUTS,
 ) -> NonbondedOutput:
@@ -117,6 +132,8 @@ def apply_exclusion_corrections(
 
     Pairs beyond the cutoff contribute zero in the main pass and correctly
     receive zero correction (the true-cutoff pair function vanishes there).
+    LJ and Coulomb terms carry independent 1-4 scale factors (the
+    lj14scale/coulomb14scale pair the reference parses, modelling.jl:198-200).
     """
     n = positions.shape[0]
     dtype = positions.dtype
@@ -135,6 +152,18 @@ def apply_exclusion_corrections(
     )
     energy = weight * energy
     minus_rE = weight * minus_rE
+    if charges is not None:
+        from emdee_tpu.potentials.coulomb import coulomb_interaction
+
+        scales_c = (
+            exclusion_scales_coulomb
+            if exclusion_scales_coulomb is not None
+            else exclusion_scales
+        )
+        weight_c = jnp.where(real, 1.0 - scales_c.astype(dtype), 0.0)
+        e_c, mre_c = coulomb_interaction(r2_safe, coulomb, charges[pi], charges[pj])
+        energy = energy + weight_c * e_c
+        minus_rE = minus_rE + weight_c * mre_c
 
     forces, energies, virials = out.forces, out.energies, out.virials
     if outputs & FORCES and forces is not None:
