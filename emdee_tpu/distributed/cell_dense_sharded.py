@@ -208,10 +208,13 @@ def make_sharded_cell_dense_sim(
         )
 
     def one_step(carry, _):
+        # No mid-block wrap (mirrors the single-chip engine: positions are
+        # wrapped at rebin time; the min-image pair math here tolerates the
+        # ≤ skin/2 overhang either way).
         state, forces = carry
         inv_m = state.inv_masses[..., None]
         v_half = state.velocities + (0.5 * dt_f) * forces * inv_m
-        new_pos = wrap(state.positions + dt_f * v_half, box)
+        new_pos = state.positions + dt_f * v_half
         new_pos = jnp.where(state.valid[..., None], new_pos, state.positions)
         state = state._replace(positions=new_pos, velocities=v_half)
         new_forces = forces_of(state)

@@ -115,6 +115,18 @@ def suggest_cell_dense_config(
     )
 
 
+def estimate_kernel_vmem_bytes(config: CellDenseConfig) -> int:
+    """VMEM footprint of the Pallas kernel's resident arrays (5 ghost fields,
+    reaction accumulator, center blocks + temporaries)."""
+    m, c = config.cells_per_dim, config.capacity
+    g = m + 2
+    ghost = g * g * g * c * 4
+    react = 3 * ghost
+    centers = 5 * c * m * 4  # one pencil block
+    tiles = 8 * c * m * c * 4  # pair-tile temporaries
+    return 5 * ghost + react + centers + tiles
+
+
 def suggest_rebin_interval(
     skin: float, dt: float, temperature: float, mass: float = 1.0, vmax_sigmas: float = 6.0
 ) -> int:
@@ -249,6 +261,16 @@ def _rebin(
         fields.append(forces.reshape(ns, 3))
     packed = jnp.concatenate(fields, axis=1)
     moved = jnp.where(new_valid[:, None], packed[src], 0.0)
+    # Wrap positions into [0, L) here (and only here): between rebins the
+    # integrator leaves them unwrapped so the kernel's raw ghost-shifted
+    # differences stay valid.
+    moved = moved.at[:, 0:3].set(
+        jnp.where(
+            new_valid[:, None],
+            moved[:, 0:3] - jnp.floor(moved[:, 0:3] / config.box) * config.box,
+            0.0,
+        )
+    )
     new_ids = jnp.where(
         new_valid,
         jax.lax.bitcast_convert_type(moved[:, 9], jnp.int32),
@@ -453,6 +475,10 @@ def make_cell_dense_sim(
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        if backend == "pallas" and estimate_kernel_vmem_bytes(config) > 13_000_000:
+            # The whole-problem-in-VMEM kernel tops out around ~150k atoms;
+            # beyond that the HBM-streaming XLA path takes over.
+            backend = "xla"
     if backend in ("pallas", "pallas_interpret"):
         from emdee_tpu.neighbors.pallas_cell_kernel import pallas_cell_forces
 
@@ -488,10 +514,16 @@ def make_cell_dense_sim(
         return pe, vir, ke
 
     def one_step(carry, _):
+        # NO PBC wrap here: the Pallas kernel computes raw (ghost-shifted)
+        # differences, so a mid-block wrap would teleport a boundary-crossing
+        # atom by ±L and silently sever its pair interactions until the next
+        # rebin (measured as steady NVE heating ∝ rebin_every).  Positions
+        # drift at most skin/2 past the box faces between rebins — exactly
+        # what the ghost cells cover — and are wrapped at rebin time.
         state, forces = carry
         inv_m = state.inv_masses[..., None]
         v_half = state.velocities + (0.5 * dt_f) * forces * inv_m
-        new_pos = wrap(state.positions + dt_f * v_half, box)
+        new_pos = state.positions + dt_f * v_half
         new_pos = jnp.where(state.valid[..., None], new_pos, state.positions)
         state = state._replace(positions=new_pos, velocities=v_half)
         new_forces = forces_of(state)
