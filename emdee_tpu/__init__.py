@@ -39,8 +39,17 @@ from emdee_tpu.potentials.lennard_jones import (
 from emdee_tpu.neighbors.allpairs import compute_nonbonded_allpairs
 from emdee_tpu.neighbors.cell_list import CellList, build_cell_list
 from emdee_tpu.neighbors.neighbor_list import NeighborList, build_neighbor_list
-from emdee_tpu.neighbors.api import make_force_fn
+from emdee_tpu.neighbors.api import NonbondedConfig, make_force_fn
+from emdee_tpu.neighbors.cell_dense import (
+    CellDenseConfig,
+    cell_dense_init,
+    gather_dense_atoms,
+    make_cell_dense_sim,
+    suggest_cell_dense_config,
+    suggest_rebin_interval,
+)
 from emdee_tpu.dynamics.verlet import velocity_verlet_step, nve_rollout
+from emdee_tpu.dynamics.langevin import nvt_rollout
 
 __version__ = "0.1.0"
 
@@ -75,6 +84,14 @@ __all__ = [
     "NeighborList",
     "build_neighbor_list",
     "make_force_fn",
+    "NonbondedConfig",
+    "CellDenseConfig",
+    "cell_dense_init",
+    "gather_dense_atoms",
+    "make_cell_dense_sim",
+    "suggest_cell_dense_config",
+    "suggest_rebin_interval",
     "velocity_verlet_step",
     "nve_rollout",
+    "nvt_rollout",
 ]
