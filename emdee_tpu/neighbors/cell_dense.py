@@ -477,15 +477,21 @@ def make_cell_dense_sim(
         backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
         if backend == "pallas" and estimate_kernel_vmem_bytes(config) > 13_000_000:
             # The whole-problem-in-VMEM kernel tops out around ~150k atoms;
-            # beyond that the HBM-streaming XLA path takes over.
-            backend = "xla"
-    if backend in ("pallas", "pallas_interpret"):
-        from emdee_tpu.neighbors.pallas_cell_kernel import pallas_cell_forces
+            # beyond that the HBM-streaming kernel variant takes over.
+            backend = "pallas_streaming"
+    if backend in ("pallas", "pallas_interpret", "pallas_streaming"):
+        from emdee_tpu.neighbors.pallas_cell_kernel import (
+            pallas_cell_forces,
+            pallas_cell_forces_streaming,
+        )
 
         interp = backend == "pallas_interpret"
-
-        def forces_of(state):
-            return pallas_cell_forces(state, model, config, interpret=interp)[0]
+        if backend == "pallas_streaming":
+            def forces_of(state):
+                return pallas_cell_forces_streaming(state, model, config)[0]
+        else:
+            def forces_of(state):
+                return pallas_cell_forces(state, model, config, interpret=interp)[0]
 
         def energy_forces(state):
             # Observables are off the hot path, and the kernel's energy

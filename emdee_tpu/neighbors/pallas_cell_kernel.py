@@ -395,3 +395,214 @@ def pallas_cell_forces(
     energies = uncenter(e_c) + _fold_ghosts(e_r, m, c)
     virials = uncenter(w_c) + _fold_ghosts(w_r, m, c)
     return forces, energies, virials
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant: unbounded N (ghost rows fed per program from HBM)
+# ---------------------------------------------------------------------------
+
+_FULL_SHELL_27 = [
+    (dz, dy, dx) for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+]
+
+
+def _prep_streaming_inputs(state: CellDenseState, config: CellDenseConfig):
+    """Ghost neighborhood as 9 per-(dz,dy) row views of shape (M², 1, G·C).
+
+    Pallas block index maps cannot express overlapping (halo) windows, so the
+    nine (dz, dy) neighbor rows each program needs are materialized as nine
+    shifted views per field in XLA — plain slices of the ghosted grid, cheap
+    relative to the pair math they feed.
+    """
+    m, c = config.cells_per_dim, config.capacity
+    g = m + 2
+    pos = _sentinel_positions(state, config)
+    grid = lambda a: a.reshape(m, m, m, c)
+
+    fields = [
+        _ghost(grid(pos[..., 0]), m, axis_shift=2, box=config.box),
+        _ghost(grid(pos[..., 1]), m, axis_shift=1, box=config.box),
+        _ghost(grid(pos[..., 2]), m, axis_shift=0, box=config.box),
+        _ghost(grid(state.half_sigma), m),
+        _ghost(grid(state.twice_sqrt_eps), m),
+    ]  # each (G, G, G, C): axes (z, y, x, slot)
+
+    views = []
+    for field in fields:
+        flat_x = field.reshape(g, g, g * c)
+        for dz in (0, 1, 2):
+            for dy in (0, 1, 2):
+                v = jax.lax.slice(flat_x, (dz, dy, 0), (dz + m, dy + m, g * c))
+                views.append(v.reshape(m * m, 1, g * c))
+
+    def center(a):
+        return a.reshape(m * m, m, c).transpose(0, 2, 1)
+
+    centers = jnp.concatenate(
+        [
+            center(pos[..., 0]),
+            center(pos[..., 1]),
+            center(pos[..., 2]),
+            center(state.half_sigma),
+            center(state.twice_sqrt_eps),
+        ],
+        axis=1,
+    )  # (M², 5C, M)
+    return views, centers
+
+
+def _make_streaming_kernel(config: CellDenseConfig, model_consts, compute_energy, interpret):
+    m, c = config.cells_per_dim, config.capacity
+    g = m + 2
+    mc = m * c
+    rs2, invd2 = model_consts
+
+    def kernel(*refs):
+        ghost_refs = refs[:45]  # 5 fields × 9 (dz,dy) views
+        centers = refs[45]
+        outs = refs[46:]
+        fx, fy, fz = outs[:3]
+        if compute_energy:
+            e_out, w_out = outs[3:]
+
+        lane_in_cell = jax.lax.broadcasted_iota(jnp.int32, (c, mc), 1) % c
+        sub_id = jax.lax.broadcasted_iota(jnp.int32, (c, mc), 0)
+        is_self = (lane_in_cell == sub_id).astype(jnp.float32)
+        seg = (
+            jax.lax.broadcasted_iota(jnp.int32, (mc, m), 0) // c
+            == jax.lax.broadcasted_iota(jnp.int32, (mc, m), 1)
+        ).astype(jnp.float32)
+
+        mm = lambda a, b: jnp.dot(
+            a, b, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        )
+        seg_bf16 = seg.astype(jnp.bfloat16)
+
+        def segsum(t):
+            hi = t.astype(jnp.bfloat16)
+            rem = t - hi.astype(jnp.float32)
+            mid = rem.astype(jnp.bfloat16)
+            lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            out = jnp.dot(hi, seg_bf16, preferred_element_type=jnp.float32)
+            out += jnp.dot(mid, seg_bf16, preferred_element_type=jnp.float32)
+            out += jnp.dot(lo, seg_bf16, preferred_element_type=jnp.float32)
+            return out
+
+        expand = (
+            jax.lax.broadcasted_iota(jnp.int32, (m, mc), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (m, mc), 1) // c
+        ).astype(jnp.float32)
+        cen_all = mm(centers[0], expand)
+        cenx = cen_all[0:c]
+        ceny = cen_all[c : 2 * c]
+        cenz = cen_all[2 * c : 3 * c]
+        cenhs = cen_all[3 * c : 4 * c]
+        centse = cen_all[4 * c : 5 * c]
+
+        zero_tile = jnp.zeros((c, mc), jnp.float32)
+        acc = [zero_tile, zero_tile, zero_tile, zero_tile, zero_tile]
+
+        for dz, dy, dx in _FULL_SHELL_27:
+            view = (dz + 1) * 3 + (dy + 1)
+            win = (dx + 1) * c
+            nx = ghost_refs[0 * 9 + view][0, 0:1, pl.ds(win, mc)]
+            ny = ghost_refs[1 * 9 + view][0, 0:1, pl.ds(win, mc)]
+            nz = ghost_refs[2 * 9 + view][0, 0:1, pl.ds(win, mc)]
+            nhs = ghost_refs[3 * 9 + view][0, 0:1, pl.ds(win, mc)]
+            ntse = ghost_refs[4 * 9 + view][0, 0:1, pl.ds(win, mc)]
+
+            dvx = cenx - nx
+            dvy = ceny - ny
+            dvz = cenz - nz
+            r2 = dvx * dvx + dvy * dvy + dvz * dvz
+            sig = cenhs + nhs
+            eps4 = centse * ntse
+            if (dz, dy, dx) == (0, 0, 0):
+                eps4 = eps4 * (1.0 - is_self)
+                r2 = r2 + is_self
+            r0 = pl.reciprocal(r2, approx=True) if not interpret else 1.0 / r2
+            r0 = r0 * (2.0 - r2 * r0)
+            rinv = r0 * (2.0 - r2 * r0)
+            s2 = sig * sig * rinv
+            s6 = s2 * s2 * s2
+            e4s6 = eps4 * s6
+            energy = e4s6 * (s6 - 1.0)
+            mrE = 6.0 * e4s6 * (2.0 * s6 - 1.0)
+            x = jnp.clip((r2 - rs2) * invd2, 0.0, 1.0)
+            x2 = x * x
+            gsw = 1.0 + x * x2 * (15.0 * x - 6.0 * x2 - 10.0)
+            one_m_x = 1.0 - x
+            mrg = (60.0 * invd2) * x2 * one_m_x * one_m_x * r2
+            tot = mrE * gsw + energy * mrg
+            gf = tot * rinv
+            acc[0] += gf * dvx
+            acc[1] += gf * dvy
+            acc[2] += gf * dvz
+            if compute_energy:
+                acc[3] += 0.5 * energy * gsw
+                acc[4] += 0.5 * tot
+
+        n_fields = 5 if compute_energy else 3
+        reduced = segsum(jnp.concatenate(acc[:n_fields], axis=0))
+        fx[0] = reduced[0:c]
+        fy[0] = reduced[c : 2 * c]
+        fz[0] = reduced[2 * c : 3 * c]
+        if compute_energy:
+            e_out[0] = reduced[3 * c : 4 * c]
+            w_out[0] = reduced[4 * c : 5 * c]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("config", "compute_energy", "interpret"))
+def pallas_cell_forces_streaming(
+    state: CellDenseState,
+    model: LennardJonesModel,
+    config: CellDenseConfig,
+    *,
+    compute_energy: bool = False,
+    interpret: bool = False,
+):
+    """Streaming (HBM-fed) variant of `pallas_cell_forces` for any N.
+
+    One grid program per (z, y) pencil; each program's nine ghost
+    neighborhood rows arrive as their own (1, G·C) blocks (Pallas pipelines
+    the DMAs), so VMEM holds only a pencil's working set — no whole-problem
+    residency requirement.  Full 27-shell with center-only accumulation:
+    each pair is computed by both owners, no reaction buffer, no Newton —
+    the VMEM-resident half-shell kernel stays faster below ~150k atoms.
+    """
+    m, c = config.cells_per_dim, config.capacity
+    g = m + 2
+    rs2 = float(config.switch) ** 2
+    rc2 = float(config.cutoff) ** 2
+    invd2 = 1.0 / (rc2 - rs2)
+
+    views, centers = _prep_streaming_inputs(state, config)
+    kernel = _make_streaming_kernel(config, (rs2, invd2), compute_energy, interpret)
+
+    ghost_spec = pl.BlockSpec((1, 1, g * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    center_spec = pl.BlockSpec((1, 5 * c, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_center = pl.BlockSpec((1, c, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    n_out = 5 if compute_energy else 3
+    out_shapes = [jax.ShapeDtypeStruct((m * m, c, m), jnp.float32)] * n_out
+    out_specs = [out_center] * n_out
+
+    call_kwargs = dict(
+        grid=(m * m,),
+        in_specs=[ghost_spec] * 45 + [center_spec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+    )
+    if interpret:
+        call_kwargs["interpret"] = True
+    outs = pl.pallas_call(kernel, **call_kwargs)(*views, centers)
+
+    def uncenter(a):  # (M², C, M) → (M³, C)
+        return a.transpose(0, 2, 1).reshape(m**3, c)
+
+    forces = jnp.stack([uncenter(outs[0]), uncenter(outs[1]), uncenter(outs[2])], axis=-1)
+    if not compute_energy:
+        return forces, None, None
+    return forces, uncenter(outs[3]), uncenter(outs[4])

@@ -73,3 +73,26 @@ def test_sim_with_pallas_backend_matches_xla():
     ex = [float(v) for v in energy_x(sx)]
     ep = [float(v) for v in energy_p(sp)]
     np.testing.assert_allclose(ep, ex, rtol=1e-4, atol=1e-3)
+
+
+def test_streaming_kernel_matches_xla_dense():
+    """The HBM-streaming variant (for N beyond VMEM residency) gates against
+    the XLA dense engine too."""
+    from emdee_tpu.neighbors.pallas_cell_kernel import pallas_cell_forces_streaming
+
+    st, config, model, n = _setup()
+    f_ref, e_ref, w_ref = cell_dense_forces(st, model, config, compute_energy=True)
+    f_k, e_k, w_k = pallas_cell_forces_streaming(
+        st, model, config, compute_energy=True, interpret=True
+    )
+    valid = np.asarray(st.valid)
+    scale = np.abs(np.asarray(f_ref)[valid]).max()
+    np.testing.assert_allclose(
+        np.asarray(f_k)[valid], np.asarray(f_ref)[valid], atol=2e-5 * max(scale, 1.0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(e_k)[valid], np.asarray(e_ref)[valid], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(w_k)[valid], np.asarray(w_ref)[valid], rtol=1e-4, atol=2e-3
+    )
