@@ -62,9 +62,7 @@ def main(n_target: int = 100_000, steps: int = 1000, report: bool = True) -> dic
     jax.block_until_ready(state_m.positions)
     elapsed = time.perf_counter() - t0
 
-    if bool(state_m.overflow):
-        print("WARNING: cell capacity overflow during bench", file=sys.stderr)
-
+    overflowed = bool(state_m.overflow)
     atom_steps = n * steps / elapsed
     result = {
         "metric": f"atom-steps/sec/chip ({n}-atom LJ fluid, rc=2.5, NVE, dense-cell engine)",
@@ -72,8 +70,17 @@ def main(n_target: int = 100_000, steps: int = 1000, report: bool = True) -> dic
         "unit": "atom-steps/s",
         "vs_baseline": round(atom_steps / 1e8, 4),
     }
+    if overflowed:
+        # A capacity/staleness overflow means interactions may have been
+        # dropped — the number is not a valid benchmark result.
+        print("ERROR: capacity overflow during measured run", file=sys.stderr)
+        result["invalid"] = True
+        result["value"] = 0.0
+        result["vs_baseline"] = 0.0
     if report:
         print(json.dumps(result))
+    if overflowed:
+        raise SystemExit(1)
     return result
 
 

@@ -389,9 +389,21 @@ def make_sharded_step(
     def rollout(state: ShardedState, num_blocks: int) -> ShardedState:
         def block(st, _):
             st = redistribute(st, config, mesh)
+            ref_z = st.positions[:, 2]
             f, over = forces_sharded(st.positions, st.half_sigma, st.twice_sqrt_eps, st.valid)
             st = st._replace(overflow=st.overflow | over)
             (st, _), _ = jax.lax.scan(one_step, (st, f), None, length=config.resort_every)
+            # Staleness guard (mirrors cell_dense._needs_rebin): ownership is
+            # only refreshed at block starts, and the halo width covers an
+            # atom at most `halo_skin` past its slab face.  An atom that
+            # drifted further within the block may have silently lost pairs
+            # (asymmetrically — breaking Newton's 3rd law): trip the sticky
+            # flag so the caller re-runs with a larger halo_skin or a smaller
+            # resort_every.
+            dz = st.positions[:, 2] - ref_z
+            dz = dz - jnp.round(dz / config.box) * config.box
+            stale = jnp.max(jnp.where(st.valid, jnp.abs(dz), 0.0)) > config.halo_skin
+            st = st._replace(overflow=st.overflow | stale)
             return st, None
 
         state, _ = jax.lax.scan(block, state, None, length=num_blocks)

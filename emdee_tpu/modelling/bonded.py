@@ -10,9 +10,13 @@ assigns them to a system's bonds.  Matching follows OpenMM conventions:
 - exact (non-wildcard) matches win over wildcard matches,
 - angles are enumerated from the bond graph (i–j–k with j the apex),
   proper torsions from bonded paths i–j–k–l,
-- impropers use the common Amber/OpenMM layout with the central atom in
-  position 3, trying neighbor permutations (best-effort: the reference
-  defines no evaluation semantics to match).
+- impropers follow the OpenMM ForceField-XML convention: the XML row's
+  position 1 (`type1`/`class1`) names the CENTRAL atom; neighbor
+  permutations fill positions 2-4; all-wildcard (score-0) matches are
+  rejected.  The evaluation quad places the central atom third
+  (i-j-center-l), the standard Amber improper-torsion layout.  (Best-effort:
+  the reference parses impropers but defines no evaluation semantics,
+  modelling.jl:193-197.)
 
 `length_scale` converts the force field's length unit into simulation units
 (OpenMM XMLs are nm/kJ/mol/rad; with Å coordinates pass 10.0 — k values are
@@ -150,24 +154,37 @@ def build_bonded_system(
                     t_rows.append(row)
     torsions = _torsion_table(t_atoms, t_rows, n)
 
-    # ---- impropers (central atom in position 3, Amber layout) ----
+    # ---- impropers (XML row: central atom first; evaluation: central third) ----
     i_atoms, i_rows = [], []
     for c in range(n):
         if len(neighbors[c]) < 3:
             continue
         nbrs = sorted(neighbors[c])
-        best_row, best_perm, best_score = None, None, -1
+        # Prefilter rows on the central slot: position 1 must match atom c
+        # (exactly or by class; wildcard-center rows stay in, but an
+        # all-wildcard overall match is rejected below).
+        rows_c = [
+            row
+            for row in ff.improper_types
+            if _match_score(row, ("1",), (types[c],), (classes[c],)) >= 0
+        ]
+        if not rows_c:
+            continue
+        best_row, best_perm, best_score = None, None, 0
         for perm in permutations(nbrs, 3):
-            quad = (perm[0], perm[1], c, perm[2])
-            for row in ff.improper_types:
+            match_order = (c,) + perm  # row positions 1-4
+            for row in rows_c:
                 score = _match_score(
                     row,
                     ("1", "2", "3", "4"),
-                    tuple(types[x] for x in quad),
-                    tuple(classes[x] for x in quad),
+                    tuple(types[x] for x in match_order),
+                    tuple(classes[x] for x in match_order),
                 )
                 if score > best_score:
-                    best_row, best_perm, best_score = row, quad, score
+                    # Evaluation layout: i-j-center-l (Amber improper).
+                    best_row = row
+                    best_perm = (perm[0], perm[1], c, perm[2])
+                    best_score = score
         if best_row is not None:
             i_atoms.append(best_perm)
             i_rows.append(best_row)

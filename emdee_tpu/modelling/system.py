@@ -42,9 +42,16 @@ from emdee_tpu.modelling.pdb_data import (
 _HCNOPS = re.compile(r"[HCNOPS]")
 
 
-@dataclass
+@dataclass(init=False)
 class System:
-    """Typed molecular system, ready for both analysis and device upload."""
+    """Typed molecular system, ready for both analysis and device upload.
+
+    Construction mirrors the reference's spelling (modelling.jl:235):
+    ``System("file.pdb", ff)`` builds from a structure file (a shim over
+    `System.from_file`), while keyword construction fills the dataclass
+    fields directly (so `dataclasses.replace` and serialization keep
+    working).
+    """
 
     names: List[str]
     resnames: List[str]
@@ -57,6 +64,41 @@ class System:
     charges: np.ndarray  # (N,) float64 e
     box_lengths: Optional[np.ndarray]
     force_field: Optional[ForceField] = None
+
+    def __init__(self, *args, **kwargs):
+        if args and isinstance(args[0], (str, bytes)):
+            built = build_system(*args, **kwargs)
+            self.__dict__.update(built.__dict__)
+            return
+        # Field-wise construction (what @dataclass would generate); also what
+        # `dataclasses.replace` calls.
+        fields = [
+            "names", "resnames", "residue_spans", "positions", "velocities",
+            "masses", "bonds", "ff_types", "charges", "box_lengths",
+        ]
+        for name, value in zip(fields, args):
+            if name in kwargs:
+                raise TypeError(f"System() got multiple values for {name!r}")
+            kwargs[name] = value
+        self.force_field = kwargs.pop("force_field", None)
+        missing = [f for f in fields if f not in kwargs]
+        if missing:
+            raise TypeError(f"System() missing required fields: {missing}")
+        for name in fields:
+            setattr(self, name, kwargs.pop(name))
+        if kwargs:
+            raise TypeError(f"System() got unexpected fields: {sorted(kwargs)}")
+
+    @classmethod
+    def from_file(
+        cls,
+        file: str,
+        force_field: Optional["ForceField"] = None,
+        disambiguation: Optional[Dict[int, str]] = None,
+    ) -> "System":
+        """Build a System from a PDB/XYZ structure file (the explicit
+        spelling of the reference-style ``System(file, ff)`` constructor)."""
+        return build_system(file, force_field, disambiguation)
 
     def __len__(self) -> int:
         return len(self.names)
@@ -144,10 +186,11 @@ def build_system(
     """Read a structure file and (when a force field is given) type it."""
     disambiguation = disambiguation or {}
     if str(file).lower().endswith(".xyz"):
-        from emdee_tpu.io.xyz import read_xyz
+        from emdee_tpu.io.xyz import read_xyz_frame
 
-        names, positions, _ = read_xyz(file)
-        names = [sanitized(n) for n in names]
+        frame_xyz = read_xyz_frame(file)
+        names = [sanitized(n) for n in frame_xyz.names]
+        positions = frame_xyz.positions
         n = len(names)
         masses = np.array(
             [ELEMENT_MASSES.get(element_from_pdb(nm), 1.0) for nm in names]
@@ -157,7 +200,14 @@ def build_system(
             resnames=["UNK"] * n,
             residue_spans=[(0, n)],
             positions=positions,
-            velocities=np.zeros_like(positions),
+            # Velocities ride along when the file carries them (the reference
+            # reads them from its I/O frame, modelling.jl:240; the PDB format
+            # itself has no velocity records, so PDB systems start at rest).
+            velocities=(
+                frame_xyz.velocities
+                if frame_xyz.velocities is not None
+                else np.zeros_like(positions)
+            ),
             masses=masses,
             bonds=[],
             ff_types=[""] * n,
@@ -285,16 +335,3 @@ def build_system(
     )
 
 
-# The reference exposes `System(file, ff)` as a constructor-style call
-# (modelling.jl:235) — mirror that spelling: System("x.pdb", ff) builds from
-# file, while keyword construction still creates the dataclass directly.
-def _system_init(self, *args, **kwargs):
-    if args and isinstance(args[0], (str, bytes)):
-        built = build_system(*args, **kwargs)
-        self.__dict__.update(built.__dict__)
-    else:
-        _dataclass_init(self, *args, **kwargs)
-
-
-_dataclass_init = System.__init__
-System.__init__ = _system_init

@@ -25,13 +25,15 @@
 namespace {
 
 struct Frame {
-    std::vector<double> positions;  // 3N
+    std::vector<double> positions;   // 3N
+    std::vector<double> velocities;  // 3N when has_velocities, else empty
     std::vector<std::string> names, resnames, chainids, elements;
     std::vector<long> resids;
     std::vector<uint8_t> is_hetatm;
     std::vector<long> bonds;  // 2B, 0-based
     double cell[6] = {0, 0, 0, 90, 90, 90};
     bool has_cell = false;
+    bool has_velocities = false;
     std::string comment;
     // cached joined-string buffers (stable addresses for ctypes)
     mutable std::string joined[5];
@@ -143,7 +145,11 @@ Frame* read_xyz_impl(const char* path) {
     frame->positions.reserve(3 * n);
     frame->names.reserve(n);
     std::string name;
-    double x, y, z;
+    double x, y, z, vx, vy, vz;
+    // Extended-XYZ velocity columns (name x y z vx vy vz): present only when
+    // EVERY record carries them (mirrors the Python spec in io/xyz.py;
+    // the reference pulls velocities from its I/O frame, modelling.jl:240).
+    frame->has_velocities = true;
     for (long i = 0; i < n; ++i) {
         if (!std::getline(in, line)) {
             delete frame;
@@ -158,6 +164,14 @@ Frame* read_xyz_impl(const char* path) {
         frame->positions.push_back(x);
         frame->positions.push_back(y);
         frame->positions.push_back(z);
+        if (frame->has_velocities && (ss >> vx >> vy >> vz)) {
+            frame->velocities.push_back(vx);
+            frame->velocities.push_back(vy);
+            frame->velocities.push_back(vz);
+        } else {
+            frame->has_velocities = false;
+            frame->velocities.clear();
+        }
     }
     frame->resids.assign(n, 1);
     frame->is_hetatm.assign(n, 0);
@@ -201,6 +215,12 @@ long emdee_frame_nbonds(void* h) {
 }
 double* emdee_frame_positions(void* h) {
     return static_cast<Frame*>(h)->positions.data();
+}
+double* emdee_frame_velocities(void* h) {
+    return static_cast<Frame*>(h)->velocities.data();
+}
+int emdee_frame_has_velocities(void* h) {
+    return static_cast<Frame*>(h)->has_velocities ? 1 : 0;
 }
 long* emdee_frame_bonds(void* h) { return static_cast<Frame*>(h)->bonds.data(); }
 long* emdee_frame_resids(void* h) { return static_cast<Frame*>(h)->resids.data(); }

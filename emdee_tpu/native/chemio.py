@@ -39,6 +39,10 @@ def _load():
         lib.emdee_frame_nbonds.argtypes = [ctypes.c_void_p]
         lib.emdee_frame_positions.restype = ctypes.POINTER(ctypes.c_double)
         lib.emdee_frame_positions.argtypes = [ctypes.c_void_p]
+        lib.emdee_frame_velocities.restype = ctypes.POINTER(ctypes.c_double)
+        lib.emdee_frame_velocities.argtypes = [ctypes.c_void_p]
+        lib.emdee_frame_has_velocities.restype = ctypes.c_int
+        lib.emdee_frame_has_velocities.argtypes = [ctypes.c_void_p]
         lib.emdee_frame_bonds.restype = ctypes.POINTER(ctypes.c_long)
         lib.emdee_frame_bonds.argtypes = [ctypes.c_void_p]
         lib.emdee_frame_resids.restype = ctypes.POINTER(ctypes.c_long)
@@ -73,7 +77,8 @@ def _strings(lib, handle, which: int, n: int) -> List[str]:
     return parts[:n]
 
 
-def read_xyz(path: str) -> Tuple[List[str], np.ndarray, str]:
+def read_xyz(path: str) -> Tuple[List[str], np.ndarray, Optional[np.ndarray], str]:
+    """Returns (names, positions, velocities_or_None, comment)."""
     lib = _load()
     handle = lib.emdee_read_xyz(path.encode())
     if not handle:
@@ -81,9 +86,14 @@ def read_xyz(path: str) -> Tuple[List[str], np.ndarray, str]:
     try:
         n = lib.emdee_frame_natoms(handle)
         pos = np.ctypeslib.as_array(lib.emdee_frame_positions(handle), shape=(n, 3)).copy()
+        vel = None
+        if lib.emdee_frame_has_velocities(handle):
+            vel = np.ctypeslib.as_array(
+                lib.emdee_frame_velocities(handle), shape=(n, 3)
+            ).copy()
         names = _strings(lib, handle, 0, n)
         comment = _strings(lib, handle, 4, 1)[0]
-        return names, pos, comment
+        return names, pos, vel, comment
     finally:
         lib.emdee_frame_free(handle)
 

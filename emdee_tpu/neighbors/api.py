@@ -6,10 +6,12 @@
                       reference-parity path (supports parity_mode).
 - ``neighbor_list`` — cell-list-built padded Verlet list with a skin,
                       displacement-triggered in-graph rebuild; O(N).
-- ``pallas``        — neighbor-list force pass as a hand-written Pallas TPU
-                      kernel (same list machinery, fastest on TPU).
 - ``auto``          — neighbor list when the geometry supports it (box holds
                       ≥ 5³ half-cutoff cells), else all-pairs.
+
+The hand-written Pallas TPU production path is the dense-cell engine
+(`emdee_tpu.neighbors.cell_dense.make_cell_dense_sim`), which owns its own
+state layout; `emdee_tpu.utils.runner` picks it automatically.
 
 The returned `Nonbonded` bundle exposes:
   init(positions)                  → aux   (neighbor state; host-side retry on
@@ -53,7 +55,7 @@ class NonbondedConfig:
 
     cutoff: float
     switch: float  # switching-function onset radius (rs < rc)
-    method: str = "auto"  # allpairs | neighbor_list | pallas | auto
+    method: str = "auto"  # allpairs | neighbor_list | auto
     skin: float = 0.0  # Verlet buffer; 0 → auto (0.1·cutoff) for list methods
     ndiv: int = 2  # cells per cutoff (cells.jl:36 geometry)
     cell_capacity_multiplier: float = 1.6
@@ -66,8 +68,26 @@ class NonbondedConfig:
     def __post_init__(self):
         if self.switch >= self.cutoff:
             raise ValueError("switch must be < cutoff")
+        if self.method == "pallas":
+            raise ValueError(
+                "the Pallas production path is the dense-cell engine — use "
+                "emdee_tpu.neighbors.cell_dense.make_cell_dense_sim(backend="
+                "'pallas') or emdee_tpu.utils.runner.Simulation"
+            )
+        if self.method not in ("auto", "allpairs", "neighbor_list"):
+            raise ValueError(f"unknown nonbonded method {self.method!r}")
         if self.parity_mode and self.method not in ("allpairs", "auto"):
             raise ValueError("parity_mode requires the all-pairs method")
+
+    @property
+    def effective_skin(self) -> float:
+        return self.skin if self.skin > 0 else 0.1 * self.cutoff
+
+    def list_geometry(self, box: float) -> tuple:
+        """(list_cutoff, cells_per_dim) of the cell grid backing the Verlet
+        list — the single home of the skin/M arithmetic."""
+        list_cutoff = self.cutoff + self.effective_skin
+        return list_cutoff, cells_per_dimension(box, list_cutoff, self.ndiv)
 
 
 class Nonbonded(NamedTuple):
@@ -82,13 +102,9 @@ class Nonbonded(NamedTuple):
 def resolve_method(config: NonbondedConfig, box: float, num_atoms: int) -> str:
     method = config.method
     if method == "auto":
-        m = cells_per_dimension(box, config.cutoff + _skin(config), config.ndiv)
+        _, m = config.list_geometry(box)
         method = "neighbor_list" if (m >= 2 * config.ndiv + 1 and num_atoms >= 256) else "allpairs"
     return method
-
-
-def _skin(config: NonbondedConfig) -> float:
-    return config.skin if config.skin > 0 else 0.1 * config.cutoff
 
 
 def make_force_fn(
@@ -158,9 +174,8 @@ def make_force_fn(
         return Nonbonded(config, model, init, compute, update, force_fn)
 
     # ---- neighbor-list-backed methods ----
-    skin = _skin(config)
-    list_cutoff = config.cutoff + skin
-    m = cells_per_dimension(box, list_cutoff, config.ndiv)
+    skin = config.effective_skin
+    list_cutoff, m = config.list_geometry(box)
     if m < 2 * config.ndiv + 1:
         raise ValueError(
             f"box {box} too small for cell lists at cutoff {list_cutoff} "
@@ -170,12 +185,6 @@ def make_force_fn(
     max_nbrs = config.max_neighbors or estimate_max_neighbors(
         num_atoms, box, list_cutoff, config.neighbor_multiplier
     )
-
-    if method == "pallas":
-        raise ValueError(
-            "the Pallas production path is the dense-cell engine — use "
-            "emdee_tpu.neighbors.cell_dense.make_cell_dense_sim(backend='pallas')"
-        )
     _pair_pass = compute_nonbonded_neighborlist
 
     def _build(positions, cap_cell, cap_nbrs):

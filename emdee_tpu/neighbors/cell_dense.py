@@ -474,7 +474,9 @@ def make_cell_dense_sim(
     box = jnp.float32(config.box)
 
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        # Only TPU-like backends can lower the Mosaic kernel ('axon' is the
+        # remote-TPU tunnel); GPU and CPU fall back to the portable XLA path.
+        backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
         if backend == "pallas" and estimate_kernel_vmem_bytes(config) > 13_000_000:
             # The whole-problem-in-VMEM kernel tops out around ~150k atoms;
             # beyond that the HBM-streaming kernel variant takes over.

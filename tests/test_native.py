@@ -51,11 +51,12 @@ def test_native_xyz_matches_python():
         pytest.skip("reference fixtures not mounted")
     from emdee_tpu.io.xyz import _read_xyz_stream
 
-    names_c, pos_c, _ = chemio.read_xyz(path)
+    names_c, pos_c, vel_c, _ = chemio.read_xyz(path)
     with open(path) as fh:
-        names_py, pos_py, _ = _read_xyz_stream(fh)
-    assert names_c == names_py
-    np.testing.assert_array_equal(pos_c, pos_py)
+        frame_py = _read_xyz_stream(fh)
+    assert names_c == frame_py.names
+    np.testing.assert_array_equal(pos_c, frame_py.positions)
+    assert vel_c is None and frame_py.velocities is None  # plain 4-column file
 
 
 def test_native_pdb_matches_python():
