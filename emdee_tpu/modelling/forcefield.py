@@ -221,6 +221,15 @@ class ForceField:
         self.lj14_scale = float(scaling.get("lj14scale", 1.0))
         self.coulomb14_scale = float(scaling.get("coulomb14scale", 1.0))
 
+        # Canonical-adjacency index: (n, packed bits) → template names.  The
+        # reference scans every template per residue (modelling.jl:311); a
+        # 500-residue system against amber03's 113 templates is 56k dense
+        # matrix compares — hashing makes matching O(1) per residue.
+        self._template_index: Dict[tuple, List[str]] = {}
+        for name, tpl in self.templates.items():
+            key = (tpl.num_atoms, np.packbits(tpl.adjacency).tobytes())
+            self._template_index.setdefault(key, []).append(name)
+
     def type_mass(self, type_name: str) -> float:
         return self.atom_types[type_name]["mass"]
 
@@ -229,9 +238,8 @@ class ForceField:
     ) -> List[str]:
         """All template names whose canonical adjacency equals the given one
         (the modelling.jl:311 matching rule)."""
-        return [
-            name
-            for name, tpl in self.templates.items()
-            if tpl.adjacency.shape == canonical_adjacency.shape
-            and np.array_equal(tpl.adjacency, canonical_adjacency)
-        ]
+        key = (
+            canonical_adjacency.shape[0],
+            np.packbits(np.asarray(canonical_adjacency, bool)).tobytes(),
+        )
+        return list(self._template_index.get(key, []))
