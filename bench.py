@@ -24,6 +24,7 @@ def main(n_target: int = 100_000, steps: int = 1000, report: bool = True) -> dic
 
     from emdee_tpu.neighbors.cell_dense import (
         cell_dense_init,
+        detect_uniform_params,
         make_cell_dense_sim,
         suggest_cell_dense_config,
     )
@@ -45,7 +46,10 @@ def main(n_target: int = 100_000, steps: int = 1000, report: bool = True) -> dic
     if bool(state.overflow):
         config = config._replace(capacity=config.capacity * 2)
         state = cell_dense_init(pos, vel, np.ones(n), params, config)
-    rollout, energy = make_cell_dense_sim(config, model, dt=0.005, backend="auto")
+    rollout, energy = make_cell_dense_sim(
+        config, model, dt=0.005, backend="auto",
+        uniform_params=detect_uniform_params(params),
+    )
 
     # Melt start: half the initial T*=1.44 kinetic energy converts to
     # potential; the equilibrated T is ~0.7 — pick the rebin cadence for it.

@@ -98,11 +98,14 @@ def suggest_cell_dense_config(
             "use the all-pairs method for boxes this small"
         )
     mean_occ = num_atoms / m**3
-    # 3σ margin: dense-liquid occupancy fluctuations are sub-Poisson
-    # (repulsive cores anticorrelate; measured max 30 at mean 20 over long
-    # 100k-atom runs).  An overflowing cell trips the sticky flag rather
-    # than silently corrupting, and callers double capacity on retry.
-    cap = int(np.ceil(mean_occ * capacity_multiplier + 3.0 * np.sqrt(mean_occ) + 1.0))
+    # 2.5σ margin: dense-liquid occupancy fluctuations are sub-Poisson
+    # (repulsive cores anticorrelate; measured max 30 at mean 19.9 =
+    # mean + 2.28·√mean over long equilibrated 100k-atom runs).  Pair work
+    # scales as capacity², so the margin is deliberately tight: an
+    # overflowing cell trips the sticky flag rather than silently
+    # corrupting, and callers double capacity on retry.
+    del capacity_multiplier  # legacy knob, superseded by the measured margin
+    cap = int(np.ceil(mean_occ + 2.5 * np.sqrt(mean_occ) + 1.0))
     cap = -(-cap // 8) * 8
     return CellDenseConfig(
         cells_per_dim=m,
@@ -458,17 +461,32 @@ def _needs_rebin(state: CellDenseState, config: CellDenseConfig) -> jax.Array:
     return jnp.max(d2) > (0.5 * config.skin) ** 2
 
 
+def detect_uniform_params(params: LJParams):
+    """Host-side check: if every atom shares one (σ/2, 2√ε), return that pair
+    as floats for the kernel's static uniform fast path, else None."""
+    hs = np.asarray(params.half_sigma)
+    tse = np.asarray(params.twice_sqrt_eps)
+    if hs.size and np.all(hs == hs.flat[0]) and np.all(tse == tse.flat[0]):
+        return (float(hs.flat[0]), float(tse.flat[0]))
+    return None
+
+
 def make_cell_dense_sim(
     config: CellDenseConfig,
     model: LennardJonesModel,
     dt: float,
     backend: str = "auto",
+    uniform_params=None,
 ):
     """Build (rollout, energy) closures for slot-space NVE.
 
     backend: 'xla' (portable dense rolls), 'pallas' (hand-written TPU kernel,
     pallas_cell_kernel.py), 'pallas_interpret' (kernel in interpreter mode,
     for CPU tests), or 'auto' (pallas on TPU-like backends, xla elsewhere).
+
+    uniform_params: optional static (half_sigma, twice_sqrt_eps) floats when
+    all atoms share one LJ type (see `detect_uniform_params`) — drops the
+    per-atom parameter fields from the Pallas hot loop.
     """
     dt_f = jnp.float32(dt)
     box = jnp.float32(config.box)
@@ -493,7 +511,10 @@ def make_cell_dense_sim(
                 return pallas_cell_forces_streaming(state, model, config)[0]
         else:
             def forces_of(state):
-                return pallas_cell_forces(state, model, config, interpret=interp)[0]
+                return pallas_cell_forces(
+                    state, model, config, interpret=interp,
+                    uniform_params=uniform_params,
+                )[0]
 
         def energy_forces(state):
             # Observables are off the hot path, and the kernel's energy

@@ -93,7 +93,27 @@ def _ghost(arr: jax.Array, m: int, axis_shift=None, box: float = 0.0) -> jax.Arr
     return arr
 
 
-def _prep_inputs(state: CellDenseState, config: CellDenseConfig):
+def _const_tiles(m: int, c: int):
+    """Constant mask/matmul operand tiles, precomputed host-side once per
+    (M, C) shape so the kernel spends no VPU cycles rebuilding them per
+    program (iota+compare chains measured ~5-7% of the hot loop)."""
+    mc = m * c
+    lane_in_cell = np.arange(mc, dtype=np.int64) % c
+    is_self = (lane_in_cell[None, :] == np.arange(c)[:, None]).astype(np.float32)
+    expand = (
+        np.arange(m)[:, None] == (np.arange(mc)[None, :] // c)
+    ).astype(np.float32)  # (M, M·C)
+    seg = (
+        (np.arange(mc)[:, None] // c) == np.arange(m)[None, :]
+    ).astype(np.float32)  # (M·C, M)
+    return (
+        jnp.asarray(is_self),
+        jnp.asarray(expand),
+        jnp.asarray(seg, jnp.bfloat16),
+    )
+
+
+def _prep_inputs(state: CellDenseState, config: CellDenseConfig, uniform: bool = False):
     """XLA-side data prep: ghost rows + transposed center arrays."""
     m, c = config.cells_per_dim, config.capacity
     g = m + 2
@@ -103,29 +123,25 @@ def _prep_inputs(state: CellDenseState, config: CellDenseConfig):
     gx = _ghost(grid(pos[..., 0]), m, axis_shift=2, box=config.box).reshape(g * g, g * c)
     gy = _ghost(grid(pos[..., 1]), m, axis_shift=1, box=config.box).reshape(g * g, g * c)
     gz = _ghost(grid(pos[..., 2]), m, axis_shift=0, box=config.box).reshape(g * g, g * c)
-    ghs = _ghost(grid(state.half_sigma), m).reshape(g * g, g * c)
-    gtse = _ghost(grid(state.twice_sqrt_eps), m).reshape(g * g, g * c)
 
-    # Centers as one stacked (M², 5·C, M) array: one (5C, M) pencil block per
+    # Centers as one stacked (M², n·C, M) array: one (nC, M) pencil block per
     # kernel program — Mosaic forbids dynamic lane-slicing at non-128 offsets
-    # so the pencil arrives as its own block, and stacking the five fields
-    # lets the kernel expand them with a single MXU matmul (small matmuls are
+    # so the pencil arrives as its own block, and stacking the fields lets
+    # the kernel expand them with a single MXU matmul (small matmuls are
     # latency-bound; batching them is the difference between 126 and ~9 MXU
     # dispatches per program).
     def center(a):
         return a.reshape(m * m, m, c).transpose(0, 2, 1)  # (M², C, M)
 
-    centers = jnp.concatenate(
-        [
-            center(pos[..., 0]),
-            center(pos[..., 1]),
-            center(pos[..., 2]),
-            center(state.half_sigma),
-            center(state.twice_sqrt_eps),
-        ],
-        axis=1,
-    )  # (M², 5C, M)
-    return (gx, gy, gz, ghs, gtse, centers)
+    cen_fields = [center(pos[..., 0]), center(pos[..., 1]), center(pos[..., 2])]
+    if uniform:
+        centers = jnp.concatenate(cen_fields, axis=1)  # (M², 3C, M)
+        return (gx, gy, gz, centers) + _const_tiles(m, c)
+    ghs = _ghost(grid(state.half_sigma), m).reshape(g * g, g * c)
+    gtse = _ghost(grid(state.twice_sqrt_eps), m).reshape(g * g, g * c)
+    cen_fields += [center(state.half_sigma), center(state.twice_sqrt_eps)]
+    centers = jnp.concatenate(cen_fields, axis=1)  # (M², 5C, M)
+    return (gx, gy, gz, ghs, gtse, centers) + _const_tiles(m, c)
 
 
 def _fold_ghosts(react: jax.Array, m: int, c: int) -> jax.Array:
@@ -151,14 +167,30 @@ def _fold_ghosts(react: jax.Array, m: int, c: int) -> jax.Array:
 
 
 def _make_kernel(
-    config: CellDenseConfig, model_consts, compute_energy: bool, interpret: bool = False
+    config: CellDenseConfig,
+    model_consts,
+    compute_energy: bool,
+    interpret: bool = False,
+    uniform_params=None,
 ):
     m, c = config.cells_per_dim, config.capacity
     g = m + 2
     mc = m * c
     rs2, invd2 = model_consts
+    uniform = uniform_params is not None
+    if uniform:
+        hs_u, tse_u = uniform_params
+        sig2_u = float((2.0 * hs_u) ** 2)  # σᵢⱼ² for identical atoms
+        eps4_u = float(tse_u * tse_u)  # 4εᵢⱼ
 
-    def kernel(gx, gy, gz, ghs, gtse, centers, *outs):
+    def kernel(*refs):
+        # Input order: coords [+ params] + centers + constant tiles.
+        if uniform:
+            gx, gy, gz, centers, is_self, expand, seg_bf16 = refs[:7]
+            outs = refs[7:]
+        else:
+            gx, gy, gz, ghs, gtse, centers, is_self, expand, seg_bf16 = refs[:9]
+            outs = refs[9:]
         (fx, fy, fz, react) = outs[:4]
         if compute_energy:
             (e_out, w_out, er_out, wr_out) = outs[4:]
@@ -173,50 +205,39 @@ def _make_kernel(
                 er_out[:] = jnp.zeros_like(er_out)
                 wr_out[:] = jnp.zeros_like(wr_out)
 
-        # Static helpers.
-        lane_in_cell = jax.lax.broadcasted_iota(jnp.int32, (c, mc), 1) % c
-        sub_id = jax.lax.broadcasted_iota(jnp.int32, (c, mc), 0)
-        is_self = (lane_in_cell == sub_id).astype(jnp.float32)
-        seg = (
-            jax.lax.broadcasted_iota(jnp.int32, (mc, m), 0) // c
-            == jax.lax.broadcasted_iota(jnp.int32, (mc, m), 1)
-        ).astype(jnp.float32)
-
         # Center tiles: (C, M) blocks → per-cell lane expansion (C, M·C),
-        # element [a, cx·C + k] = center[a, cx].  pltpu.repeat is *tiled*
-        # (abab…), not interleaved — do the interleave as one MXU matmul with
-        # a static 0/1 expansion matrix instead (free FLOPs, no relayout).
-        expand = (
-            jax.lax.broadcasted_iota(jnp.int32, (m, mc), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (m, mc), 1) // c
-        ).astype(jnp.float32)
-        # HIGHEST precision is load-bearing: the MXU multiplies in bf16 by
-        # default, which quantizes positions (~1e-3) — a center atom then
-        # misses its own ghost copy by a hair and 1/r² explodes.
+        # element [a, cx·C + k] = center[a, cx], via one MXU matmul with the
+        # precomputed 0/1 expansion matrix (pltpu.repeat is tiled abab…, not
+        # interleaved).  HIGHEST precision is load-bearing: the MXU multiplies
+        # in bf16 by default, which quantizes positions (~1e-3) — a center
+        # atom then misses its own ghost copy by a hair and 1/r² explodes.
         mm = lambda a, b: jnp.dot(
             a, b, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
         )
-        # Per-cell segment reduction via MXU with a 0/1 matrix.  Mosaic's
-        # default f32 dot is a single bf16 pass (quantizes values) and HIGH
-        # is unimplemented — emulate f32 with a 3-term bf16 split (~24
-        # mantissa bits; the 0/1 seg matrix is exact in bf16).
-        seg_bf16 = seg.astype(jnp.bfloat16)
 
+        # Per-cell segment reduction via MXU with the precomputed bf16 0/1
+        # matrix.  Mosaic's default f32 dot is a single bf16 pass (quantizes
+        # values) and HIGH is unimplemented — emulate f32 with a 3-term bf16
+        # split (~24 mantissa bits; the 0/1 seg matrix is exact in bf16).
         def segsum(t):
+            sb = seg_bf16[...]
             hi = t.astype(jnp.bfloat16)
             rem = t - hi.astype(jnp.float32)
             mid = rem.astype(jnp.bfloat16)
             lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-            out = jnp.dot(hi, seg_bf16, preferred_element_type=jnp.float32)
-            out += jnp.dot(mid, seg_bf16, preferred_element_type=jnp.float32)
-            out += jnp.dot(lo, seg_bf16, preferred_element_type=jnp.float32)
+            out = jnp.dot(hi, sb, preferred_element_type=jnp.float32)
+            out += jnp.dot(mid, sb, preferred_element_type=jnp.float32)
+            out += jnp.dot(lo, sb, preferred_element_type=jnp.float32)
             return out
-        cen_all = mm(centers[0], expand)  # one batched expansion: (5C, M·C)
+
+        n_cen = 3 if uniform else 5
+        cen_all = mm(centers[0], expand[...])  # one batched expansion: (nC, M·C)
         cenx = cen_all[0:c]
         ceny = cen_all[c : 2 * c]
         cenz = cen_all[2 * c : 3 * c]
-        cenhs = cen_all[3 * c : 4 * c]
-        centse = cen_all[4 * c : 5 * c]
+        if not uniform:
+            cenhs = cen_all[3 * c : 4 * c]
+            centse = cen_all[4 * c : 5 * c]
 
         def pair_pass(dz, dy, dx, self_pass, acc):
             fx_a, fy_a, fz_a, e_a, w_a = acc
@@ -225,18 +246,13 @@ def _make_kernel(
             nx = gx[pl.ds(row, 1), pl.ds(win, mc)]
             ny = gy[pl.ds(row, 1), pl.ds(win, mc)]
             nz = gz[pl.ds(row, 1), pl.ds(win, mc)]
-            nhs = ghs[pl.ds(row, 1), pl.ds(win, mc)]
-            ntse = gtse[pl.ds(row, 1), pl.ds(win, mc)]
 
             dvx = cenx - nx
             dvy = ceny - ny
             dvz = cenz - nz
             r2 = dvx * dvx + dvy * dvy + dvz * dvz
-            sig = cenhs + nhs
-            eps4 = centse * ntse
             if self_pass:
-                eps4 = eps4 * (1.0 - is_self)
-                r2 = r2 + is_self
+                r2 = r2 + is_self[...]
             # Approximate reciprocal + two Newton steps → full f32 accuracy
             # at a fraction of a true divide's latency.  (One step is not
             # enough: the ~1e-5 residual force noise pumps energy into long
@@ -244,16 +260,28 @@ def _make_kernel(
             r0 = pl.reciprocal(r2, approx=True) if not interpret else 1.0 / r2
             r0 = r0 * (2.0 - r2 * r0)
             rinv = r0 * (2.0 - r2 * r0)
-            s2 = sig * sig * rinv
-            s6 = s2 * s2 * s2
-            e4s6 = eps4 * s6
-            energy = e4s6 * (s6 - 1.0)
-            mrE = 6.0 * e4s6 * (2.0 * s6 - 1.0)
+            if uniform:
+                s2 = sig2_u * rinv
+                s6 = s2 * s2 * s2
+                t6 = eps4_u * s6  # 4ε·s⁻⁶
+            else:
+                nhs = ghs[pl.ds(row, 1), pl.ds(win, mc)]
+                ntse = gtse[pl.ds(row, 1), pl.ds(win, mc)]
+                sig = cenhs + nhs
+                s2 = sig * sig * rinv
+                s6 = s2 * s2 * s2
+                t6 = (centse * ntse) * s6
+            if self_pass:
+                t6 = t6 * (1.0 - is_self[...])
+            t12 = t6 * s6  # 4ε·s⁻¹²
+            energy = t12 - t6
+            mrE = 12.0 * t12 - 6.0 * t6
             x = jnp.clip((r2 - rs2) * invd2, 0.0, 1.0)
             x2 = x * x
-            gsw = 1.0 + x * x2 * (15.0 * x - 6.0 * x2 - 10.0)
+            x3 = x2 * x
+            gsw = 1.0 + x3 * (15.0 * x - 6.0 * x2 - 10.0)
             one_m_x = 1.0 - x
-            mrg = (60.0 * invd2) * x2 * one_m_x * one_m_x * r2
+            mrg = ((60.0 * invd2) * x2) * (one_m_x * one_m_x) * r2
             tot = mrE * gsw + energy * mrg  # switched −r·dE/dr
             gf = tot * rinv
             gfx = gf * dvx
@@ -319,7 +347,9 @@ def _make_kernel(
     return kernel
 
 
-@partial(jax.jit, static_argnames=("config", "compute_energy", "interpret"))
+@partial(
+    jax.jit, static_argnames=("config", "compute_energy", "interpret", "uniform_params")
+)
 def pallas_cell_forces(
     state: CellDenseState,
     model: LennardJonesModel,
@@ -327,23 +357,42 @@ def pallas_cell_forces(
     *,
     compute_energy: bool = False,
     interpret: bool = False,
+    uniform_params=None,
 ):
-    """Drop-in replacement for `cell_dense_forces` (true-cutoff mode)."""
+    """Drop-in replacement for `cell_dense_forces` (true-cutoff mode).
+
+    uniform_params: optional static (half_sigma, twice_sqrt_eps) float pair.
+    When every atom shares the same LJ parameters (the common fluid case),
+    passing them compile-time removes the two per-atom parameter fields from
+    the hot loop entirely — two fewer ghost arrays, two fewer tile loads and
+    three fewer VPU ops per pair.
+    """
     m, c = config.cells_per_dim, config.capacity
     g = m + 2
     mc = m * c
     rs2 = float(config.switch) ** 2
     rc2 = float(config.cutoff) ** 2
     invd2 = 1.0 / (rc2 - rs2)
+    uniform = uniform_params is not None
 
-    inputs = _prep_inputs(state, config)
-    kernel = _make_kernel(config, (rs2, invd2), compute_energy, interpret)
+    inputs = _prep_inputs(state, config, uniform=uniform)
+    kernel = _make_kernel(
+        config, (rs2, invd2), compute_energy, interpret, uniform_params=uniform_params
+    )
 
     # Pallas TPU blocks must have their last dims 128-divisible or full —
     # every operand is therefore a full-array VMEM block (they all fit;
     # that's the point of this kernel) and pencils are sliced in-kernel.
+    n_cen = 3 if uniform else 5
     ghost_spec = pl.BlockSpec((g * g, g * c), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    center_spec = pl.BlockSpec((1, 5 * c, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    center_spec = pl.BlockSpec(
+        (1, n_cen * c, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    const_specs = [
+        pl.BlockSpec((c, mc), lambda i: (0, 0), memory_space=pltpu.VMEM),  # is_self
+        pl.BlockSpec((m, mc), lambda i: (0, 0), memory_space=pltpu.VMEM),  # expand
+        pl.BlockSpec((mc, m), lambda i: (0, 0), memory_space=pltpu.VMEM),  # seg bf16
+    ]
     out_center = pl.BlockSpec((1, c, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out_react = pl.BlockSpec((3 * g * g, g * c), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out_ghost1 = pl.BlockSpec((g * g, g * c), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -366,7 +415,7 @@ def pallas_cell_forces(
 
     call_kwargs = dict(
         grid=(m * m,),
-        in_specs=[ghost_spec] * 5 + [center_spec],
+        in_specs=[ghost_spec] * (3 if uniform else 5) + [center_spec] + const_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
     )

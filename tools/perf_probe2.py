@@ -72,12 +72,13 @@ def force_only(capacity, iters=400):
     from emdee_tpu.neighbors.pallas_cell_kernel import pallas_cell_forces
 
     state, config, model, n = setup(capacity=capacity)
+    up = (0.5, 2.0)
 
     @partial(jax.jit, static_argnames=())
     def scan_forces(st):
         def body(carry, _):
             st = carry
-            f = pallas_cell_forces(st, model, config)[0]
+            f = pallas_cell_forces(st, model, config, uniform_params=up)[0]
             # minimal evolution so no two dispatches see identical inputs
             st = st._replace(positions=st.positions + 1e-7 * f)
             return st, None
