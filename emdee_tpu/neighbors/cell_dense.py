@@ -54,6 +54,10 @@ class CellDenseConfig(NamedTuple):
     switch: float
     skin: float
     num_atoms: int
+    # Boundary-spill balancing (see `_rebin_shift`): lets capacity sit near
+    # the mean occupancy instead of covering the 2.5σ tail.  Requires the
+    # shift rebin and cell side > cutoff + skin.
+    spill: bool = False
 
     @property
     def num_cells(self) -> int:
@@ -81,6 +85,7 @@ class CellDenseState(NamedTuple):
     ref_positions: jax.Array  # (M³, C, 3) — positions at last rebin
     step: jax.Array  # () int32
     overflow: jax.Array  # () bool
+    charges: Optional[jax.Array] = None  # (M³, C) — molecular systems only
 
 
 def suggest_cell_dense_config(
@@ -90,8 +95,10 @@ def suggest_cell_dense_config(
     switch: float,
     skin: float = 0.4,
     capacity_multiplier: float = 1.25,
+    spill: bool = False,
+    spill_margin: float = 0.15,
 ) -> CellDenseConfig:
-    m = int(np.floor(box / (cutoff + skin)))
+    m = int(np.floor(box / (cutoff + skin + (spill_margin if spill else 0.0))))
     if m < 3:
         raise ValueError(
             f"box {box} holds only {m} cells of side ≥ {cutoff + skin}; "
@@ -105,7 +112,14 @@ def suggest_cell_dense_config(
     # overflowing cell trips the sticky flag rather than silently
     # corrupting, and callers double capacity on retry.
     del capacity_multiplier  # legacy knob, superseded by the measured margin
-    cap = int(np.ceil(mean_occ + 2.5 * np.sqrt(mean_occ) + 1.0))
+    if spill:
+        # Boundary-spill balancing (`_rebin_shift`) sheds the occupancy
+        # tail into face-adjacent cells, so capacity only needs to cover
+        # ~mean + 0.5σ.  Requires spill margin ε = h − rc − skin > 0,
+        # reserved above via `spill_margin`.
+        cap = int(np.ceil(mean_occ + 0.5 * np.sqrt(mean_occ) + 0.5))
+    else:
+        cap = int(np.ceil(mean_occ + 2.5 * np.sqrt(mean_occ) + 1.0))
     cap = -(-cap // 8) * 8
     return CellDenseConfig(
         cells_per_dim=m,
@@ -115,6 +129,7 @@ def suggest_cell_dense_config(
         switch=switch,
         skin=skin,
         num_atoms=num_atoms,
+        spill=spill,
     )
 
 
@@ -168,7 +183,7 @@ _OFFSET_LIVE = np.arange(len(_OFFSETS_PADDED)) < len(_OFFSETS)
 # ---------------------------------------------------------------------------
 
 
-def _bin_to_slots(positions, per_atom, config: CellDenseConfig, valid=None):
+def _bin_to_slots(positions, per_atom, config: CellDenseConfig, valid=None, cell_override=None):
     """Scatter per-atom arrays into the (M³, C) slot layout.
 
     positions: (K, 3); per_atom: dict name → (K, …) arrays; valid: optional
@@ -180,9 +195,12 @@ def _bin_to_slots(positions, per_atom, config: CellDenseConfig, valid=None):
     m, c = config.cells_per_dim, config.capacity
     n = positions.shape[0]
     num_cells = m**3
-    s = wrap_scaled(positions / config.box)
-    v = jnp.clip(jnp.floor(m * s).astype(jnp.int32), 0, m - 1)
-    cell = v[:, 0] + m * (v[:, 1] + m * v[:, 2])
+    if cell_override is not None:
+        cell = jnp.asarray(cell_override, jnp.int32)
+    else:
+        s = wrap_scaled(positions / config.box)
+        v = jnp.clip(jnp.floor(m * s).astype(jnp.int32), 0, m - 1)
+        cell = v[:, 0] + m * (v[:, 1] + m * v[:, 2])
     if valid is not None:
         cell = jnp.where(valid, cell, num_cells)
 
@@ -260,6 +278,11 @@ def _rebin(
         state.twice_sqrt_eps.reshape(ns, 1),
         jax.lax.bitcast_convert_type(state.atom_id.reshape(ns, 1), jnp.float32),
     ]
+    q_col = None
+    if state.charges is not None:
+        q_col = sum(f.shape[1] for f in fields)
+        fields.append(state.charges.reshape(ns, 1))
+    f_col = sum(f.shape[1] for f in fields)
     if forces is not None:
         fields.append(forces.reshape(ns, 3))
     packed = jnp.concatenate(fields, axis=1)
@@ -292,10 +315,282 @@ def _rebin(
         ref_positions=new_pos,
         step=state.step,
         overflow=state.overflow | overflow,
+        charges=None if q_col is None else moved[:, q_col].reshape(num_cells, c),
     )
     if forces is None:
         return new_state
-    return new_state, moved[:, 10:13].reshape(num_cells, c, 3)
+    return new_state, moved[:, f_col : f_col + 3].reshape(num_cells, c, 3)
+
+
+def _route_axis_pass(fields, valid, overflow, cf, b, m, config, spill_eps, nbr):
+    """One ±1-cell routing pass along one grid axis — the core of the shift
+    rebin, shared by the single-chip (`_rebin_shift`) and grid-sharded
+    (`distributed.grid_sharded`) engines.
+
+    fields: list of (cells, C) arrays (fields[cf] is this pass's coordinate);
+    b: (cells,) global cell coordinate along the axis; m: global cell count
+    along the axis; nbr(x, δ): the δ∈{+1,−1} axis-neighbor's content of x for
+    every cell row — a periodic `_roll_cells` on one chip, a halo `ppermute`
+    across shards.  Returns (fields, valid, overflow) with each cell's
+    candidates compacted back into C slots.
+
+    Mechanics: arrival ranks = mask @ strict-upper-triangular on the MXU
+    (f32-accumulated → exact integer prefix sums); compaction of the
+    3C-candidate window into C slots by log-shift rounds — each kept element
+    slides left by s = index − rank lanes; s is non-decreasing along the
+    window and destinations are strictly increasing, so moving every element
+    by bit j of its own s (LSB→MSB, one `roll`+`where` per bit) is provably
+    collision-free.  Pure lane shifts and selects: bit-exact transport, no
+    gathers, no scatters.
+    """
+    c = config.capacity
+    k = 3 * c
+    box = jnp.float32(config.box)
+    sut = jnp.asarray(np.triu(np.ones((k, k), np.float32), 1), jnp.bfloat16)
+    slot_iota = jnp.arange(c, dtype=jnp.int32)
+    cand_iota = jnp.arange(k, dtype=jnp.int32)
+    n_bits = max(1, int(np.ceil(np.log2(k))))
+
+    coord = fields[cf]  # (cells, C)
+    t = jnp.clip(jnp.floor(m * wrap_scaled(coord / box)).astype(jnp.int32), 0, m - 1)
+    d = jnp.where(valid, (t - b[:, None]) % m, 0)
+    legal = (d == 0) | (d == 1) | (d == m - 1)
+    overflow = overflow | jnp.any(valid & ~legal)
+    g_minus = valid & (d == m - 1)  # target = b − 1
+    g_stay = valid & (d == 0)
+    g_plus = valid & (d == 1)  # target = b + 1
+
+    if config.spill and spill_eps > 0.0:
+        # Boundary-spill balancing: over-capacity cells re-route stayers
+        # that sit within `spill_eps` of the +face of this pass's axis
+        # into the next cell.  Spills are ONE-directional (+face only):
+        # with bidirectional spills two atoms can leave the same true
+        # cell in opposite directions, landing in stored cells two apart
+        # while within cutoff (a silently missed pair).  One-directional,
+        # the worst case across a 2-cell stored gap is an unspilled atom
+        # vs a +spilled one: axis separation ≥ h − ε − skin, which is
+        # ≥ rc exactly when ε ≤ h − rc − skin — how `spill_eps` is
+        # defined.  This lets capacity sit near mean+0.5σ instead of
+        # mean+2.5σ; pair work ~C², so the occupancy tail is the
+        # difference between C=32 and C=24 at the 100k benchmark.
+        sums = lambda a: jnp.sum(a, axis=1, dtype=jnp.int32)
+        count0 = (
+            nbr(sums(g_plus), -1) + sums(g_stay) + nbr(sums(g_minus), +1)
+        )  # arrivals per dest cell before spilling
+        excess = jnp.maximum(count0 - c, 0)
+        # Room in cell b+1 from pre-spill counts: a cell that itself
+        # sheds has room 0 and receives nothing; shedding only frees
+        # space, so pre-spill room is conservative.
+        room = jnp.maximum(c - count0, 0)
+        budget_plus = nbr(room, +1)
+        frac = m * wrap_scaled(coord / box) - t.astype(coord.dtype)
+        eps_frac = spill_eps / float(config.cell_side)
+        elig_plus = g_stay & (frac > 1.0 - eps_frac)
+        csum = lambda e: jnp.cumsum(e, axis=1) - e  # exclusive, in-cell
+        n_plus = jnp.minimum(jnp.minimum(excess, budget_plus), sums(elig_plus))
+        spill_p = elig_plus & (csum(elig_plus) < n_plus[:, None])
+        g_stay = g_stay & ~spill_p
+        g_plus = g_plus | spill_p
+        # A spill across the periodic boundary must store an unwrapped
+        # coordinate coherent with the stored cell's frame (the force
+        # kernel's ghost copies shift by ±L per CELL index, assuming
+        # positions sit near their stored cell) — exactly the same
+        # overhang contract as inter-rebin drift.
+        wrap_p = spill_p & (b == m - 1)[:, None]
+        fields[cf] = jnp.where(wrap_p, coord - box, fields[cf])
+
+    # Dest cell q's candidates: [q−1's g_plus, q's g_stay, q+1's g_minus].
+    mask = jnp.concatenate([nbr(g_plus, -1), g_stay, nbr(g_minus, +1)], axis=1)
+    cand = [
+        jnp.concatenate([nbr(f, -1), f, nbr(f, +1)], axis=1) for f in fields
+    ]
+
+    rank = jax.lax.dot_general(
+        mask.astype(jnp.bfloat16), sut, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # exclusive prefix counts — exact integers
+    counts = jnp.sum(mask, axis=1, dtype=jnp.int32)  # (cells,)
+    overflow = overflow | (jnp.max(counts) > c)
+
+    # Left-shift distance per kept candidate; 0 for junk lanes.
+    s = jnp.where(mask, cand_iota[None, :] - rank, 0)
+    for j in range(n_bits):
+        sh = 1 << j
+        moving = (s & sh) != 0
+        # An element arrives at lane l from lane l+2ʲ — unless the
+        # source index wrapped around the (circular) roll.
+        arrive = jnp.roll(moving, -sh, axis=1) & (cand_iota[None, :] < k - sh)
+        cand = [jnp.where(arrive, jnp.roll(f, -sh, axis=1), f) for f in cand]
+        s = jnp.where(arrive, jnp.roll(s, -sh, axis=1) - sh, s)
+        # Vacated lanes keep a stale copy of the mover; zero its shift
+        # so the duplicate never moves again (it then either gets
+        # overwritten by the true occupant's later arrival or lies
+        # beyond the kept [0, C) window).
+        s = jnp.where(moving & ~arrive, 0, s)
+
+    fields = [f[:, :c] for f in cand]
+    valid = slot_iota[None, :] < counts[:, None]
+    return fields, valid, overflow
+
+
+def _rebin_shift(
+    state: CellDenseState,
+    config: CellDenseConfig,
+    forces: Optional[jax.Array] = None,
+    uniform_params=None,
+    uniform_mass: Optional[float] = None,
+):
+    """Gather-free incremental rebin: three axis passes of ±1-cell routing.
+
+    Between rebins every atom moves less than skin/2 < cell side (the same
+    staleness bound `_needs_rebin` enforces), so its new cell is within the
+    27-neighborhood of its current cell.  Factorized per axis, routing is
+    between x±1, then y±1, then z±1 cells only — 3·C candidates per cell —
+    and each pass is pure dense math (the TPU re-imagining of the
+    reference's incremental `update_cells!` chain, cells.jl:196-222, which
+    splices linked lists — pointer-chasing XLA can't express):
+
+    - candidate tiles via static `jnp.roll` (PBC for free, no indices),
+    - arrival ranks = mask @ strict-upper-triangular on the MXU
+      (f32-accumulated → exact integer prefix sums),
+    - compaction of the 3C-candidate window into C slots by log-shift
+      rounds: each kept element must slide left by s = index − rank lanes;
+      s is non-decreasing along the window and destinations are strictly
+      increasing, so moving every element by bit j of its own s (LSB→MSB,
+      one `roll`+`where` per bit) is provably collision-free.  Pure lane
+      shifts and selects — bit-exact transport, no gathers, no scatters,
+      no per-cell batched matmuls (TPU gathers measured ~2.4 GB/s; batched
+      (C×3C) matmuls are dispatch-latency-bound at M³ batches).
+    - atoms that moved further than one cell on any axis, or past cell
+      capacity, are dropped with the sticky overflow flag set (callers
+      re-init via `cell_dense_init`, which handles arbitrary states).
+
+    Drop-in replacement for `_rebin` (measured 5.5 ms → sub-ms at 157k
+    slots); slot order within a cell is identical to the sort-based rebin
+    (both are stable by candidate order).
+    """
+    m, c = config.cells_per_dim, config.capacity
+    nc = m**3
+    k = 3 * c
+    box = jnp.float32(config.box)
+    valid = state.valid
+
+    # Wrap positions into [0, L) here (and only here), like `_rebin`.
+    pos = state.positions
+    pos = jnp.where(valid[..., None], pos - jnp.floor(pos / box) * box, 0.0)
+
+    # Scalar transported fields, each (nc, C) so lane rolls stay on the
+    # minor axis.  atom_id rides as int32 (selects are type-agnostic).
+    # Uniform per-atom constants (LJ params, mass) are NOT routed — they are
+    # reconstructed from the new valid mask afterwards, cutting the
+    # compaction's dominant roll+select traffic by up to 3 of 13 fields.
+    fields = [pos[..., 0], pos[..., 1], pos[..., 2]]
+    fields += [state.velocities[..., i] for i in range(3)]
+    im_col = hs_col = None
+    if uniform_mass is None:
+        im_col = len(fields)
+        fields.append(state.inv_masses)
+    if uniform_params is None:
+        hs_col = len(fields)
+        fields += [state.half_sigma, state.twice_sqrt_eps]
+    q_col = None
+    if state.charges is not None:
+        q_col = len(fields)
+        fields.append(state.charges)
+    f_col = len(fields)
+    if forces is not None:
+        fields += [forces[..., i] for i in range(3)]
+    fields.append(state.atom_id)
+    nf = len(fields)
+
+    overflow = state.overflow
+    spill_eps = float(config.cell_side) - float(config.cutoff) - float(config.skin)
+
+    # Passes over the (z, y, x) cell grid axes; `off` is the +1 cell offset
+    # in `_roll_cells`'s (ox, oy, oz) convention, `cf` the position
+    # component (x=0, y=1, z=2) binned by this pass.
+    cell_ids = jnp.arange(nc, dtype=jnp.int32)
+    for axis, off, cf in ((0, (0, 0, 1), 2), (1, (0, 1, 0), 1), (2, (1, 0, 0), 0)):
+        # Cell's own coordinate along this axis (cell id = x + M·(y + M·z)).
+        b = {2: cell_ids % m, 1: (cell_ids // m) % m, 0: cell_ids // (m * m)}[axis]
+        nbr = lambda x, d, off=off: _roll_cells(x, tuple(d * o for o in off), m)
+        fields, valid, overflow = _route_axis_pass(
+            fields, valid, overflow, cf, b, m, config, spill_eps, nbr
+        )
+
+    new_pos = jnp.stack(fields[0:3], axis=-1)
+    new_pos = jnp.where(valid[..., None], new_pos, 0.0)
+    zero = lambda a: jnp.where(valid, a, 0.0)
+    const = lambda v: jnp.where(valid, jnp.float32(v), 0.0)
+    new_state = CellDenseState(
+        positions=new_pos,
+        velocities=jnp.where(
+            valid[..., None], jnp.stack(fields[3:6], axis=-1), 0.0
+        ),
+        inv_masses=zero(fields[im_col]) if im_col is not None else const(1.0 / uniform_mass),
+        half_sigma=zero(fields[hs_col]) if hs_col is not None else const(uniform_params[0]),
+        twice_sqrt_eps=zero(fields[hs_col + 1]) if hs_col is not None else const(uniform_params[1]),
+        atom_id=jnp.where(valid, fields[nf - 1], config.num_slots),
+        valid=valid,
+        ref_positions=new_pos,
+        step=state.step,
+        overflow=overflow,
+        charges=None if q_col is None else zero(fields[q_col]),
+    )
+    if forces is None:
+        return new_state
+    new_forces = jnp.where(
+        valid[..., None], jnp.stack(fields[f_col : f_col + 3], axis=-1), 0.0
+    )
+    return new_state, new_forces
+
+
+def _spill_assign_np(positions, config: CellDenseConfig):
+    """Init-time one-directional boundary spill (host-side, numpy).
+
+    Greedy +face routing of overfull cells' near-face atoms into their +axis
+    neighbor — the same geometry contract as `_rebin_shift`'s spill (stored
+    cell ≤ ε past an atom's true cell along +axis only).  Returns
+    (cell ids, coordinate array with periodic-seam spills shifted by −L, ok).
+    """
+    m, cap = config.cells_per_dim, config.capacity
+    box, h = float(config.box), float(config.cell_side)
+    eps = h - float(config.cutoff) - float(config.skin)
+    pos = np.asarray(positions, np.float64)
+    s = pos / box - np.floor(pos / box)
+    v = np.clip(np.floor(m * s).astype(np.int64), 0, m - 1)
+    frac = m * s - v
+    cell = (v[:, 0] + m * (v[:, 1] + m * v[:, 2])).astype(np.int64)
+    pos_out = np.asarray(positions, np.float32).copy()
+    counts = np.bincount(cell, minlength=m**3)
+    if eps <= 0.0:
+        return cell.astype(np.int32), pos_out, bool(counts.max() <= cap)
+    strides = (1, m, m * m)
+    for ax in (0, 1, 2):
+        over = np.flatnonzero(counts > cap)
+        if not over.size:
+            break
+        stride = strides[ax]
+        for cid in over:
+            need = int(counts[cid] - cap)
+            if need <= 0:
+                continue
+            coord_ax = (cid // stride) % m
+            ncid = cid + stride if coord_ax < m - 1 else cid - (m - 1) * stride
+            room = int(cap - counts[ncid])
+            if room <= 0:
+                continue
+            members = np.flatnonzero(cell == cid)
+            elig = members[frac[members, ax] > 1.0 - eps / h]
+            elig = elig[np.argsort(-frac[elig, ax])][: min(need, room)]
+            if not elig.size:
+                continue
+            cell[elig] = ncid
+            counts[cid] -= elig.size
+            counts[ncid] += elig.size
+            if coord_ax == m - 1:  # periodic seam: store a coherent coord
+                pos_out[elig, ax] -= box
+    return cell.astype(np.int32), pos_out, bool(counts.max() <= cap)
 
 
 def cell_dense_init(
@@ -304,10 +599,15 @@ def cell_dense_init(
     masses,
     params: LJParams,
     config: CellDenseConfig,
+    charges=None,
 ) -> CellDenseState:
     """Host entry: pack (N, …) arrays into slot layout (with overflow retry
     left to the caller via the flag)."""
     n = positions.shape[0]
+    cell_override = None
+    if config.spill:
+        cell_ids, positions, _ = _spill_assign_np(positions, config)
+        cell_override = jnp.asarray(cell_ids)
     positions = jnp.asarray(positions, jnp.float32)
     per_atom = {
         "positions": (positions, 0.0),
@@ -318,7 +618,9 @@ def cell_dense_init(
         "atom_id": (jnp.arange(n, dtype=jnp.int32), config.num_slots),
         "valid": (jnp.ones(n, bool), False),
     }
-    out, overflow = _bin_to_slots(positions, per_atom, config)
+    if charges is not None:
+        per_atom["charges"] = (jnp.asarray(charges, jnp.float32), 0.0)
+    out, overflow = _bin_to_slots(positions, per_atom, config, cell_override=cell_override)
     return CellDenseState(
         positions=out["positions"],
         velocities=out["velocities"],
@@ -330,6 +632,7 @@ def cell_dense_init(
         ref_positions=out["positions"],
         step=jnp.asarray(0, jnp.int32),
         overflow=overflow,
+        charges=out["charges"] if charges is not None else None,
     )
 
 
@@ -354,6 +657,7 @@ def cell_dense_forces(
     state: CellDenseState,
     model: LennardJonesModel,
     config: CellDenseConfig,
+    coulomb=None,
     *,
     compute_energy: bool = False,
 ):
@@ -362,6 +666,10 @@ def cell_dense_forces(
     Structure: one full C×C self-cell tile (each intra-cell pair evaluated
     from both sides — no Newton needed) plus 13 half-shell offset tiles in
     128-lane groups with Newton-3 reaction accumulation via reverse rolls.
+
+    With `coulomb` (a DSFCoulomb model) and state.charges set, DSF
+    electrostatics ride the same tiles — the typed/charged-System bridge the
+    reference never connected (modelling.jl:323-349 vs its compute layer).
     """
     m, c = config.cells_per_dim, config.capacity
     box = jnp.float32(config.box)
@@ -369,8 +677,21 @@ def cell_dense_forces(
     scaled = pos / box
     hs = state.half_sigma
     tse = state.twice_sqrt_eps
+    q = state.charges if coulomb is not None else None
     valid = state.valid
     nc = m**3
+    if coulomb is not None and state.charges is None:
+        raise ValueError("coulomb model given but state has no charges")
+
+    def pair_terms(r2s, ok, hs_i, tse_i, hs_j, tse_j, q_i=None, q_j=None):
+        e, mrE = pair_interaction(r2s, model, hs_i, tse_i, hs_j, tse_j)
+        if q is not None:
+            from emdee_tpu.potentials.coulomb import coulomb_interaction
+
+            e_c, mre_c = coulomb_interaction(r2s, coulomb, q_i, q_j)
+            e = e + e_c
+            mrE = mrE + mre_c
+        return jnp.where(ok, e, 0.0), jnp.where(ok, mrE, 0.0)
 
     forces = jnp.zeros_like(pos)
     energies = jnp.zeros_like(hs) if compute_energy else None
@@ -382,11 +703,11 @@ def cell_dense_forces(
     eye = jnp.eye(c, dtype=bool)
     ok = valid[:, :, None] & valid[:, None, :] & ~eye[None]
     r2s = jnp.where(ok, r2, 1.0)
-    e, mrE = pair_interaction(
-        r2s, model, hs[:, :, None], tse[:, :, None], hs[:, None, :], tse[:, None, :]
+    e, mrE = pair_terms(
+        r2s, ok, hs[:, :, None], tse[:, :, None], hs[:, None, :], tse[:, None, :],
+        q[:, :, None] if q is not None else None,
+        q[:, None, :] if q is not None else None,
     )
-    e = jnp.where(ok, e, 0.0)
-    mrE = jnp.where(ok, mrE, 0.0)
     forces = forces + jnp.sum((mrE / r2s)[..., None] * dv, axis=2)
     if compute_energy:
         energies = energies + 0.5 * jnp.sum(e, axis=2)
@@ -402,6 +723,11 @@ def cell_dense_forces(
         )  # (M³, G·C, 3)
         nbr_hs = jnp.concatenate([_roll_cells(hs, o, m) for o in offs], axis=1)
         nbr_tse = jnp.concatenate([_roll_cells(tse, o, m) for o in offs], axis=1)
+        nbr_q = (
+            jnp.concatenate([_roll_cells(q, o, m) for o in offs], axis=1)
+            if q is not None
+            else None
+        )
         nbr_valid = jnp.concatenate(
             [
                 _roll_cells(valid, o, m) if lv else jnp.zeros_like(valid)
@@ -414,8 +740,10 @@ def cell_dense_forces(
         r2 = jnp.sum(dv * dv, axis=-1)  # (M³, C, G·C)
         ok = valid[:, :, None] & nbr_valid[:, None, :]
         r2s = jnp.where(ok, r2, 1.0)
-        e, mrE = pair_interaction(
-            r2s, model, hs[:, :, None], tse[:, :, None], nbr_hs[:, None, :], nbr_tse[:, None, :]
+        e, mrE = pair_terms(
+            r2s, ok, hs[:, :, None], tse[:, :, None], nbr_hs[:, None, :], nbr_tse[:, None, :],
+            q[:, :, None] if q is not None else None,
+            nbr_q[:, None, :] if q is not None else None,
         )
         # Materialize only the per-pair scalar g = (−r·E′)/r² and let each
         # reduction re-derive g·dv — keeping the (…, G·C, 3) force-vector
@@ -477,6 +805,11 @@ def make_cell_dense_sim(
     dt: float,
     backend: str = "auto",
     uniform_params=None,
+    rebin: str = "shift",
+    coulomb=None,
+    extra_forces=None,
+    extra_energy=None,
+    uniform_mass: Optional[float] = None,
 ):
     """Build (rollout, energy) closures for slot-space NVE.
 
@@ -487,7 +820,24 @@ def make_cell_dense_sim(
     uniform_params: optional static (half_sigma, twice_sqrt_eps) floats when
     all atoms share one LJ type (see `detect_uniform_params`) — drops the
     per-atom parameter fields from the Pallas hot loop.
+
+    rebin: 'shift' (gather-free ±1-cell routing, `_rebin_shift`; requires
+    the ≤1-cell-per-interval staleness invariant the rollout already
+    enforces) or 'sort' (argsort-based `_rebin`, handles any displacement).
+
+    coulomb: optional DSFCoulomb model — state.charges must be set; DSF
+    electrostatics are added to every pair evaluation.
+
+    extra_forces(state) → (M³, C, 3) / extra_energy(state) → (pe, vir):
+    additive slot-space hooks for molecular terms (exclusion corrections,
+    bonded forces) — see cell_dense_molecular.make_molecular_dense_sim.
     """
+    if rebin == "shift":
+        rebin_fn = partial(
+            _rebin_shift, uniform_params=uniform_params, uniform_mass=uniform_mass
+        )
+    else:
+        rebin_fn = _rebin
     dt_f = jnp.float32(dt)
     box = jnp.float32(config.box)
 
@@ -499,6 +849,8 @@ def make_cell_dense_sim(
             # The whole-problem-in-VMEM kernel tops out around ~150k atoms;
             # beyond that the HBM-streaming kernel variant takes over.
             backend = "pallas_streaming"
+        if backend == "pallas_streaming" and coulomb is not None:
+            backend = "xla"  # streaming kernel is LJ-only (so far)
     if backend in ("pallas", "pallas_interpret", "pallas_streaming"):
         from emdee_tpu.neighbors.pallas_cell_kernel import (
             pallas_cell_forces,
@@ -507,32 +859,51 @@ def make_cell_dense_sim(
 
         interp = backend == "pallas_interpret"
         if backend == "pallas_streaming":
-            def forces_of(state):
+            if coulomb is not None:
+                raise ValueError("the streaming Pallas kernel is LJ-only")
+            def forces_of_pairs(state):
                 return pallas_cell_forces_streaming(state, model, config)[0]
         else:
-            def forces_of(state):
+            cc = None
+            if coulomb is not None:
+                from emdee_tpu.potentials.coulomb import coulomb_consts
+
+                cc = coulomb_consts(coulomb)
+
+            def forces_of_pairs(state):
                 return pallas_cell_forces(
                     state, model, config, interpret=interp,
-                    uniform_params=uniform_params,
+                    uniform_params=uniform_params, coulomb=cc,
                 )[0]
 
         def energy_forces(state):
             # Observables are off the hot path, and the kernel's energy
             # variant needs 4 extra VMEM outputs (OOMs at large capacity) —
             # use the portable XLA path for them.
-            return cell_dense_forces(state, model, config, compute_energy=True)
+            return cell_dense_forces(state, model, config, coulomb, compute_energy=True)
+    else:
+
+        def forces_of_pairs(state):
+            return cell_dense_forces(state, model, config, coulomb)[0]
+
+        def energy_forces(state):
+            return cell_dense_forces(state, model, config, coulomb, compute_energy=True)
+
+    if extra_forces is None:
+        forces_of = forces_of_pairs
     else:
 
         def forces_of(state):
-            return cell_dense_forces(state, model, config)[0]
-
-        def energy_forces(state):
-            return cell_dense_forces(state, model, config, compute_energy=True)
+            return forces_of_pairs(state) + extra_forces(state)
 
     def energy_of(st: CellDenseState):
         _, e, w = energy_forces(st)
         pe = jnp.sum(jnp.where(st.valid, e, 0.0))
         vir = jnp.sum(jnp.where(st.valid, w, 0.0))
+        if extra_energy is not None:
+            pe_x, vir_x = extra_energy(st)
+            pe = pe + pe_x
+            vir = vir + vir_x
         ke = 0.5 * jnp.sum(
             jnp.where(
                 st.valid[..., None],
@@ -591,7 +962,7 @@ def make_cell_dense_sim(
             st, f = carry
             # The permutation carries the current forces along, so no extra
             # force evaluation is needed after a rebin.
-            st, f = _rebin(st, config, forces=f)
+            st, f = rebin_fn(st, config, forces=f)
             (st, f), _ = jax.lax.scan(one_step, (st, f), None, length=rebin_every)
             # Staleness check: the block's steps ran on the bins made at the
             # block start; flag if the skin/2 displacement bound was violated.
@@ -604,7 +975,7 @@ def make_cell_dense_sim(
         if blocks:
             carry, records = jax.lax.scan(block, carry, None, length=blocks)
         if rem:
-            st, f = _rebin(carry[0], config, forces=carry[1])
+            st, f = rebin_fn(carry[0], config, forces=carry[1])
             (st, f), _ = jax.lax.scan(one_step, (st, f), None, length=rem)
             st = st._replace(overflow=st.overflow | _needs_rebin(st, config))
             carry = (st, f)

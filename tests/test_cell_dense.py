@@ -107,3 +107,90 @@ def test_nve_conservation_with_rebinning():
 def test_small_box_rejected():
     with pytest.raises(ValueError, match="all-pairs"):
         suggest_cell_dense_config(100, 6.0, cutoff=2.5, switch=2.0, skin=0.4)
+
+
+def _by_atom(state, n, field):
+    """Slot array → (N, …) array keyed by atom id."""
+    ids = np.asarray(state.atom_id).reshape(-1)
+    keep = np.asarray(state.valid).reshape(-1)
+    a = np.asarray(field).reshape((-1,) + np.asarray(field).shape[2:])
+    out = np.zeros((n,) + a.shape[1:], a.dtype)
+    out[ids[keep]] = a[keep]
+    return out
+
+
+def test_rebin_shift_matches_sort():
+    """The gather-free ±1-cell routing rebin is equivalent to the argsort
+    rebin: same cell assignment, same per-atom fields, wrapped positions."""
+    from emdee_tpu.neighbors.cell_dense import _rebin, _rebin_shift
+
+    pos, vel, L, params, config, model = _setup(n=1728, density=0.6, seed=3)
+    n = pos.shape[0]
+    st = cell_dense_init(pos, vel, np.ones(n), params, config)
+    # Drift every atom by up to ~0.45 (< cell_side) so many cross cells,
+    # some across the periodic boundary.
+    rng = np.random.default_rng(7)
+    drift = jnp.asarray(rng.uniform(-0.45, 0.45, st.positions.shape), jnp.float32)
+    st = st._replace(positions=st.positions + jnp.where(st.valid[..., None], drift, 0.0))
+    f = jnp.where(st.valid[..., None], 0.1 * st.positions, 0.0)
+
+    sa, fa = _rebin(st, config, forces=f)
+    sb, fb = _rebin_shift(st, config, forces=f)
+    assert not bool(sa.overflow) and not bool(sb.overflow)
+    assert int(sb.valid.sum()) == n
+
+    # Same cell for every atom.
+    cell_a = np.repeat(np.arange(config.num_cells), config.capacity)
+    cells_of = lambda s: _by_atom(s, n, jnp.where(s.valid, cell_a.reshape(s.valid.shape), 0))
+    np.testing.assert_array_equal(cells_of(sa), cells_of(sb))
+    # Same per-atom payloads, bit-exact (both transports are pure moves).
+    for fld in ("positions", "velocities", "inv_masses", "half_sigma"):
+        np.testing.assert_array_equal(
+            _by_atom(sa, n, getattr(sa, fld)), _by_atom(sb, n, getattr(sb, fld))
+        )
+    np.testing.assert_array_equal(_by_atom(sa, n, fa), _by_atom(sb, n, fb))
+
+
+def test_rebin_shift_flags_fast_atom():
+    """An atom that jumps more than one cell between rebins must trip the
+    sticky overflow flag (the shift rebin's staleness contract)."""
+    from emdee_tpu.neighbors.cell_dense import _rebin_shift
+
+    pos, vel, L, params, config, model = _setup(n=1728, density=0.6, seed=5)
+    n = pos.shape[0]
+    st = cell_dense_init(pos, vel, np.ones(n), params, config)
+    jump = np.zeros(st.positions.shape, np.float32)
+    jump[0, 0, 0] = 2.5 * config.cell_side  # two cells along x
+    st = st._replace(positions=st.positions + jnp.asarray(jump))
+    out = _rebin_shift(st, config)
+    assert bool(out.overflow)
+
+
+def test_spill_rollout_matches_allpairs():
+    """Boundary-spill balancing (tight capacity) preserves the physics."""
+    pos, L = cubic_lattice(1728, 0.75, jitter=0.12, seed=9)
+    n = pos.shape[0]
+    vel = maxwell_boltzmann(n, 1.0, seed=10)
+    params = lennard_jones_atom(np.ones(n), np.ones(n))
+    config = suggest_cell_dense_config(
+        n, L, cutoff=2.5, switch=2.0, skin=0.3, spill=True
+    )
+    assert config.spill and config.cell_side > 2.5 + config.skin
+    model = LennardJonesModel.create(2.5, 2.0)
+    rollout, energy = make_cell_dense_sim(config, model, dt=0.002)
+    st2 = cell_dense_init(pos, vel, np.ones(n), params, config)
+    assert not bool(st2.overflow)  # near-uniform lattice fits the tight cap
+
+    nb = make_force_fn(
+        NonbondedConfig(cutoff=2.5, switch=2.0, method="allpairs"), params, L, n
+    )
+    state = make_state(pos, vel, box=L)
+    ref, _, _ = nve_rollout(state, (), nb.force_fn, 0.002, 60)
+
+    st_run = rollout(st2, num_steps=60, rebin_every=5)
+    assert not bool(st_run.overflow)
+    assert int(st_run.valid.sum()) == n
+    pos_d, vel_d = gather_dense_atoms(st_run, n)
+    Lf = float(L)
+    np.testing.assert_allclose(pos_d % Lf, np.asarray(ref.positions) % Lf, atol=5e-4)
+    np.testing.assert_allclose(vel_d, np.asarray(ref.velocities), atol=5e-4)
