@@ -48,6 +48,10 @@ from emdee_tpu.neighbors.cell_dense import (
     suggest_cell_dense_config,
     suggest_rebin_interval,
 )
+from emdee_tpu.neighbors.cell_dense_molecular import (
+    dense_sim_from_system,
+    make_molecular_dense_sim,
+)
 from emdee_tpu.dynamics.verlet import velocity_verlet_step, nve_rollout
 from emdee_tpu.dynamics.langevin import nvt_rollout
 
@@ -91,6 +95,8 @@ __all__ = [
     "make_cell_dense_sim",
     "suggest_cell_dense_config",
     "suggest_rebin_interval",
+    "dense_sim_from_system",
+    "make_molecular_dense_sim",
     "velocity_verlet_step",
     "nve_rollout",
     "nvt_rollout",

@@ -113,8 +113,16 @@ def _const_tiles(m: int, c: int):
     )
 
 
-def _prep_inputs(state: CellDenseState, config: CellDenseConfig, uniform: bool = False):
-    """XLA-side data prep: ghost rows + transposed center arrays."""
+def _prep_inputs(
+    state: CellDenseState,
+    config: CellDenseConfig,
+    uniform: bool = False,
+    kc: float = 0.0,
+):
+    """XLA-side data prep: ghost rows + transposed center arrays.
+
+    kc > 0 adds a charge field pre-scaled by √kc (so the kernel's qᵢ'·qⱼ'
+    product is already kc·qᵢ·qⱼ — one fewer multiply per pair)."""
     m, c = config.cells_per_dim, config.capacity
     g = m + 2
     pos = _sentinel_positions(state, config)
@@ -134,14 +142,17 @@ def _prep_inputs(state: CellDenseState, config: CellDenseConfig, uniform: bool =
         return a.reshape(m * m, m, c).transpose(0, 2, 1)  # (M², C, M)
 
     cen_fields = [center(pos[..., 0]), center(pos[..., 1]), center(pos[..., 2])]
-    if uniform:
-        centers = jnp.concatenate(cen_fields, axis=1)  # (M², 3C, M)
-        return (gx, gy, gz, centers) + _const_tiles(m, c)
-    ghs = _ghost(grid(state.half_sigma), m).reshape(g * g, g * c)
-    gtse = _ghost(grid(state.twice_sqrt_eps), m).reshape(g * g, g * c)
-    cen_fields += [center(state.half_sigma), center(state.twice_sqrt_eps)]
-    centers = jnp.concatenate(cen_fields, axis=1)  # (M², 5C, M)
-    return (gx, gy, gz, ghs, gtse, centers) + _const_tiles(m, c)
+    ghosts = [gx, gy, gz]
+    if not uniform:
+        ghosts.append(_ghost(grid(state.half_sigma), m).reshape(g * g, g * c))
+        ghosts.append(_ghost(grid(state.twice_sqrt_eps), m).reshape(g * g, g * c))
+        cen_fields += [center(state.half_sigma), center(state.twice_sqrt_eps)]
+    if kc:
+        qs = jnp.sqrt(jnp.float32(kc)) * state.charges
+        ghosts.append(_ghost(grid(qs), m).reshape(g * g, g * c))
+        cen_fields.append(center(qs))
+    centers = jnp.concatenate(cen_fields, axis=1)  # (M², n·C, M)
+    return tuple(ghosts) + (centers,) + _const_tiles(m, c)
 
 
 def _fold_ghosts(react: jax.Array, m: int, c: int) -> jax.Array:
@@ -166,37 +177,60 @@ def _fold_ghosts(react: jax.Array, m: int, c: int) -> jax.Array:
     return r.reshape(m**3, c)
 
 
+# Abramowitz–Stegun 7.1.26 erfc coefficients (|err| ≤ 1.5e-7, x ≥ 0).
+_ERFC_P = 0.3275911
+_ERFC_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_TWO_OVER_SQRT_PI = 1.1283791670955126
+
+
 def _make_kernel(
     config: CellDenseConfig,
     model_consts,
     compute_energy: bool,
     interpret: bool = False,
     uniform_params=None,
+    coulomb=None,
+    dims=None,
 ):
-    m, c = config.cells_per_dim, config.capacity
-    g = m + 2
-    mc = m * c
+    """dims=(mz, my, mx): interior cell-grid shape this kernel instance runs
+    over — cubic (M, M, M) on one chip, a shard's local block under
+    shard_map (distributed/grid_sharded.py)."""
+    c = config.capacity
+    mz, my, mx = dims if dims is not None else (config.cells_per_dim,) * 3
+    gz_n = mz + 2
+    gy_n = my + 2
+    gx_n = mx + 2
+    m = mx  # lane-axis cell count
+    g = gx_n
+    mc = mx * c
     rs2, invd2 = model_consts
     uniform = uniform_params is not None
     if uniform:
         hs_u, tse_u = uniform_params
         sig2_u = float((2.0 * hs_u) ** 2)  # σᵢⱼ² for identical atoms
         eps4_u = float(tse_u * tse_u)  # 4εᵢⱼ
+    if coulomb is not None:
+        cl_alpha, cl_rc, cl_eshift, cl_fshift, _cl_kc = coulomb
+        cl_alpha2 = cl_alpha * cl_alpha
+        cl_rc2 = cl_rc * cl_rc
+        cl_gauss = _TWO_OVER_SQRT_PI * cl_alpha
 
     def kernel(*refs):
-        # Input order: coords [+ params] + centers + constant tiles.
-        if uniform:
-            gx, gy, gz, centers, is_self, expand, seg_bf16 = refs[:7]
-            outs = refs[7:]
-        else:
-            gx, gy, gz, ghs, gtse, centers, is_self, expand, seg_bf16 = refs[:9]
-            outs = refs[9:]
+        # Input order: coords [+ params] [+ charges] + centers + const tiles.
+        n_ghost = 3 + (0 if uniform else 2) + (0 if coulomb is None else 1)
+        ghosts = refs[:n_ghost]
+        centers, is_self, expand, seg_bf16 = refs[n_ghost : n_ghost + 4]
+        outs = refs[n_ghost + 4 :]
+        gx, gy, gz = ghosts[:3]
+        if not uniform:
+            ghs, gtse = ghosts[3:5]
+        gq = ghosts[-1] if coulomb is not None else None
         (fx, fy, fz, react) = outs[:4]
         if compute_energy:
             (e_out, w_out, er_out, wr_out) = outs[4:]
         i = pl.program_id(0)
-        cz = i // m
-        cy = i - cz * m
+        cz = i // my
+        cy = i - cz * my
 
         @pl.when(i == 0)
         def _zero():
@@ -230,18 +264,21 @@ def _make_kernel(
             out += jnp.dot(lo, sb, preferred_element_type=jnp.float32)
             return out
 
-        n_cen = 3 if uniform else 5
         cen_all = mm(centers[0], expand[...])  # one batched expansion: (nC, M·C)
         cenx = cen_all[0:c]
         ceny = cen_all[c : 2 * c]
         cenz = cen_all[2 * c : 3 * c]
+        nxt = 3 * c
         if not uniform:
-            cenhs = cen_all[3 * c : 4 * c]
-            centse = cen_all[4 * c : 5 * c]
+            cenhs = cen_all[nxt : nxt + c]
+            centse = cen_all[nxt + c : nxt + 2 * c]
+            nxt += 2 * c
+        if coulomb is not None:
+            cenq = cen_all[nxt : nxt + c]
 
         def pair_pass(dz, dy, dx, self_pass, acc):
             fx_a, fy_a, fz_a, e_a, w_a = acc
-            row = (cz + dz + 1) * g + (cy + dy + 1)
+            row = (cz + dz + 1) * gy_n + (cy + dy + 1)
             win = (dx + 1) * c
             nx = gx[pl.ds(row, 1), pl.ds(win, mc)]
             ny = gy[pl.ds(row, 1), pl.ds(win, mc)]
@@ -253,12 +290,10 @@ def _make_kernel(
             r2 = dvx * dvx + dvy * dvy + dvz * dvz
             if self_pass:
                 r2 = r2 + is_self[...]
-            # Approximate reciprocal + two Newton steps → full f32 accuracy
-            # at a fraction of a true divide's latency.  (One step is not
-            # enough: the ~1e-5 residual force noise pumps energy into long
-            # NVE runs — measured ~1%/1500 steps of KE drift at 100k atoms.)
+            # Approximate reciprocal + one Newton step → full f32 accuracy:
+            # the v5e VRCP seed is ~2⁻¹⁶ (measured), so one step reaches
+            # 2⁻²²·⁷ vs 2⁻²³·³ for two — both f32-ulp-limited.
             r0 = pl.reciprocal(r2, approx=True) if not interpret else 1.0 / r2
-            r0 = r0 * (2.0 - r2 * r0)
             rinv = r0 * (2.0 - r2 * r0)
             if uniform:
                 s2 = sig2_u * rinv
@@ -274,15 +309,42 @@ def _make_kernel(
             if self_pass:
                 t6 = t6 * (1.0 - is_self[...])
             t12 = t6 * s6  # 4ε·s⁻¹²
-            energy = t12 - t6
-            mrE = 12.0 * t12 - 6.0 * t6
             x = jnp.clip((r2 - rs2) * invd2, 0.0, 1.0)
             x2 = x * x
             x3 = x2 * x
             gsw = 1.0 + x3 * (15.0 * x - 6.0 * x2 - 10.0)
             one_m_x = 1.0 - x
             mrg = ((60.0 * invd2) * x2) * (one_m_x * one_m_x) * r2
-            tot = mrE * gsw + energy * mrg  # switched −r·dE/dr
+            # tot = mrE·gsw + energy·mrg with mrE = 12t12−6t6, E = t12−t6,
+            # refactored as t12·(12gsw+mrg) − t6·(6gsw+mrg) — one op fewer
+            # and fma-shaped.
+            u1 = 6.0 * gsw + mrg
+            tot = t12 * (u1 + 6.0 * gsw) - t6 * u1  # switched −r·dE/dr
+            e_c = None
+            if coulomb is not None:
+                # DSF Coulomb (potentials/coulomb.py), Mosaic-friendly: erfc
+                # via Abramowitz–Stegun 7.1.26 (err ≤ 1.5e-7) and exp — no
+                # erf primitive needed.  Charges arrive pre-scaled by √kc.
+                nq = gq[pl.ds(row, 1), pl.ds(win, mc)]
+                qq = cenq * nq
+                if self_pass:
+                    qq = qq * (1.0 - is_self[...])
+                rs_inv = jnp.sqrt(rinv)  # 1/r (rinv is full-accuracy 1/r²)
+                r = r2 * rs_inv
+                ex = jnp.exp(-cl_alpha2 * r2)
+                tden = 1.0 + (_ERFC_P * cl_alpha) * r
+                t0 = pl.reciprocal(tden, approx=True) if not interpret else 1.0 / tden
+                t = t0 * (2.0 - tden * t0)
+                a1, a2, a3, a4, a5 = _ERFC_A
+                erfc_ar = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5)))) * ex
+                g_r = erfc_ar * rinv + (cl_gauss * ex) * rs_inv
+                inside = (r2 < cl_rc2).astype(jnp.float32)
+                mre_c = (qq * inside) * (r * (g_r - cl_fshift))
+                tot = tot + mre_c
+                if compute_energy:
+                    e_c = (qq * inside) * (
+                        erfc_ar * rs_inv - cl_eshift + cl_fshift * (r - cl_rc)
+                    )
             gf = tot * rinv
             gfx = gf * dvx
             gfy = gf * dvy
@@ -294,7 +356,9 @@ def _make_kernel(
             fy_a += gfy
             fz_a += gfz
             if compute_energy:
-                esw = energy * gsw
+                esw = (t12 - t6) * gsw
+                if e_c is not None:
+                    esw = esw + e_c
                 e_a += 0.5 * esw
                 w_a += 0.5 * tot
             reaction = None
@@ -321,15 +385,15 @@ def _make_kernel(
         for dz, dy, dx in _HALF_SHELL:
             by_row.setdefault((dz, dy), []).append(dx)
         for (dz, dy), dxs in by_row.items():
-            row = (cz + dz + 1) * g + (cy + dy + 1)
+            row = (cz + dz + 1) * gy_n + (cy + dy + 1)
             parts = []
             for dx in dxs:
                 acc, reaction = pair_pass(dz, dy, dx, False, acc)
                 parts.append(reaction)
             combined = [sum(p[k] for p in parts) for k in range(len(parts[0]))]
             react[pl.ds(row, 1), :] += combined[0]
-            react[pl.ds(g * g + row, 1), :] += combined[1]
-            react[pl.ds(2 * g * g + row, 1), :] += combined[2]
+            react[pl.ds(gz_n * gy_n + row, 1), :] += combined[1]
+            react[pl.ds(2 * gz_n * gy_n + row, 1), :] += combined[2]
             if compute_energy:
                 er_out[pl.ds(row, 1), :] += combined[3]
                 wr_out[pl.ds(row, 1), :] += combined[4]
@@ -348,7 +412,8 @@ def _make_kernel(
 
 
 @partial(
-    jax.jit, static_argnames=("config", "compute_energy", "interpret", "uniform_params")
+    jax.jit,
+    static_argnames=("config", "compute_energy", "interpret", "uniform_params", "coulomb"),
 )
 def pallas_cell_forces(
     state: CellDenseState,
@@ -358,6 +423,7 @@ def pallas_cell_forces(
     compute_energy: bool = False,
     interpret: bool = False,
     uniform_params=None,
+    coulomb=None,
 ):
     """Drop-in replacement for `cell_dense_forces` (true-cutoff mode).
 
@@ -366,66 +432,23 @@ def pallas_cell_forces(
     passing them compile-time removes the two per-atom parameter fields from
     the hot loop entirely — two fewer ghost arrays, two fewer tile loads and
     three fewer VPU ops per pair.
+
+    coulomb: optional static float tuple (alpha, rc, e_shift, f_shift, kc) —
+    the DSFCoulomb constants as plain floats (see `coulomb_consts`); adds DSF
+    electrostatics over state.charges to every pair.
     """
     m, c = config.cells_per_dim, config.capacity
     g = m + 2
-    mc = m * c
-    rs2 = float(config.switch) ** 2
-    rc2 = float(config.cutoff) ** 2
-    invd2 = 1.0 / (rc2 - rs2)
     uniform = uniform_params is not None
 
-    inputs = _prep_inputs(state, config, uniform=uniform)
-    kernel = _make_kernel(
-        config, (rs2, invd2), compute_energy, interpret, uniform_params=uniform_params
+    inputs = _prep_inputs(
+        state, config, uniform=uniform, kc=0.0 if coulomb is None else coulomb[4]
     )
-
-    # Pallas TPU blocks must have their last dims 128-divisible or full —
-    # every operand is therefore a full-array VMEM block (they all fit;
-    # that's the point of this kernel) and pencils are sliced in-kernel.
-    n_cen = 3 if uniform else 5
-    ghost_spec = pl.BlockSpec((g * g, g * c), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    center_spec = pl.BlockSpec(
-        (1, n_cen * c, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    outs = halfshell_call(
+        inputs, config, (m, m, m),
+        compute_energy=compute_energy, interpret=interpret,
+        uniform_params=uniform_params, coulomb=coulomb,
     )
-    const_specs = [
-        pl.BlockSpec((c, mc), lambda i: (0, 0), memory_space=pltpu.VMEM),  # is_self
-        pl.BlockSpec((m, mc), lambda i: (0, 0), memory_space=pltpu.VMEM),  # expand
-        pl.BlockSpec((mc, m), lambda i: (0, 0), memory_space=pltpu.VMEM),  # seg bf16
-    ]
-    out_center = pl.BlockSpec((1, c, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    out_react = pl.BlockSpec((3 * g * g, g * c), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    out_ghost1 = pl.BlockSpec((g * g, g * c), lambda i: (0, 0), memory_space=pltpu.VMEM)
-
-    out_shapes = [
-        jax.ShapeDtypeStruct((m * m, c, m), jnp.float32),  # fx
-        jax.ShapeDtypeStruct((m * m, c, m), jnp.float32),  # fy
-        jax.ShapeDtypeStruct((m * m, c, m), jnp.float32),  # fz
-        jax.ShapeDtypeStruct((3 * g * g, g * c), jnp.float32),  # reaction xyz
-    ]
-    out_specs = [out_center, out_center, out_center, out_react]
-    if compute_energy:
-        out_shapes += [
-            jax.ShapeDtypeStruct((m * m, c, m), jnp.float32),  # e center
-            jax.ShapeDtypeStruct((m * m, c, m), jnp.float32),  # w center
-            jax.ShapeDtypeStruct((g * g, g * c), jnp.float32),  # e reaction
-            jax.ShapeDtypeStruct((g * g, g * c), jnp.float32),  # w reaction
-        ]
-        out_specs += [out_center, out_center, out_ghost1, out_ghost1]
-
-    call_kwargs = dict(
-        grid=(m * m,),
-        in_specs=[ghost_spec] * (3 if uniform else 5) + [center_spec] + const_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-    )
-    if interpret:
-        call_kwargs["interpret"] = True
-    else:
-        call_kwargs["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        )
-    outs = pl.pallas_call(kernel, **call_kwargs)(*inputs)
 
     def uncenter(a):  # (M², C, M) → (M³, C)
         return a.transpose(0, 2, 1).reshape(m**3, c)
@@ -444,6 +467,90 @@ def pallas_cell_forces(
     energies = uncenter(e_c) + _fold_ghosts(e_r, m, c)
     virials = uncenter(w_c) + _fold_ghosts(w_r, m, c)
     return forces, energies, virials
+
+
+def halfshell_call(
+    inputs,
+    config: CellDenseConfig,
+    dims,
+    *,
+    compute_energy: bool = False,
+    interpret: bool = False,
+    uniform_params=None,
+    coulomb=None,
+):
+    """Raw half-shell pallas_call over a pre-built ghost grid — no folding.
+
+    inputs: ghost fields ((Gz·Gy, Gx·C) each: coords x/y/z [+ σ/2, 2√ε]
+    [+ √kc·q]), the stacked center block (Mz·My, n·C, Mx), and the three
+    const tiles from `_const_tiles(mx, c)`.  dims = (mz, my, mx) interior
+    cells.  Returns center-layout outputs plus the reaction ghost buffer;
+    the caller folds ghosts (periodically on one chip, via reverse halo
+    ppermute across shards — distributed/grid_sharded.py).
+    """
+    mz, my, mx = dims
+    c = config.capacity
+    gz, gy, gx = mz + 2, my + 2, mx + 2
+    mc = mx * c
+    rs2 = float(config.switch) ** 2
+    rc2 = float(config.cutoff) ** 2
+    invd2 = 1.0 / (rc2 - rs2)
+    uniform = uniform_params is not None
+
+    kernel = _make_kernel(
+        config, (rs2, invd2), compute_energy, interpret,
+        uniform_params=uniform_params, coulomb=coulomb, dims=dims,
+    )
+
+    # Pallas TPU blocks must have their last dims 128-divisible or full —
+    # every operand is therefore a full-array VMEM block (they all fit;
+    # that's the point of this kernel) and pencils are sliced in-kernel.
+    n_ghost = 3 + (0 if uniform else 2) + (0 if coulomb is None else 1)
+    n_cen = n_ghost
+    ghost_spec = pl.BlockSpec((gz * gy, gx * c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    center_spec = pl.BlockSpec(
+        (1, n_cen * c, mx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    const_specs = [
+        pl.BlockSpec((c, mc), lambda i: (0, 0), memory_space=pltpu.VMEM),  # is_self
+        pl.BlockSpec((mx, mc), lambda i: (0, 0), memory_space=pltpu.VMEM),  # expand
+        pl.BlockSpec((mc, mx), lambda i: (0, 0), memory_space=pltpu.VMEM),  # seg bf16
+    ]
+    out_center = pl.BlockSpec((1, c, mx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_react = pl.BlockSpec(
+        (3 * gz * gy, gx * c), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out_ghost1 = pl.BlockSpec((gz * gy, gx * c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((mz * my, c, mx), jnp.float32),  # fx
+        jax.ShapeDtypeStruct((mz * my, c, mx), jnp.float32),  # fy
+        jax.ShapeDtypeStruct((mz * my, c, mx), jnp.float32),  # fz
+        jax.ShapeDtypeStruct((3 * gz * gy, gx * c), jnp.float32),  # reaction xyz
+    ]
+    out_specs = [out_center, out_center, out_center, out_react]
+    if compute_energy:
+        out_shapes += [
+            jax.ShapeDtypeStruct((mz * my, c, mx), jnp.float32),  # e center
+            jax.ShapeDtypeStruct((mz * my, c, mx), jnp.float32),  # w center
+            jax.ShapeDtypeStruct((gz * gy, gx * c), jnp.float32),  # e reaction
+            jax.ShapeDtypeStruct((gz * gy, gx * c), jnp.float32),  # w reaction
+        ]
+        out_specs += [out_center, out_center, out_ghost1, out_ghost1]
+
+    call_kwargs = dict(
+        grid=(mz * my,),
+        in_specs=[ghost_spec] * n_ghost + [center_spec] + const_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+    )
+    if interpret:
+        call_kwargs["interpret"] = True
+    else:
+        call_kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        )
+    return pl.pallas_call(kernel, **call_kwargs)(*inputs)
 
 
 # ---------------------------------------------------------------------------

@@ -58,6 +58,18 @@ class DSFCoulomb(NamedTuple):
         )
 
 
+def coulomb_consts(model: DSFCoulomb) -> tuple:
+    """DSF constants as a hashable float tuple (alpha, rc, e_shift, f_shift,
+    kc) — the compile-time-static form hand-written kernels consume."""
+    return (
+        float(model.alpha),
+        float(model.rc),
+        float(model.e_shift),
+        float(model.f_shift),
+        float(model.kc),
+    )
+
+
 _TWO_OVER_SQRT_PI = 1.1283791670955126
 
 

@@ -1,0 +1,160 @@
+"""Molecular systems on the dense-cell production engine: the typed/charged
+System bridge (exclusions + DSF Coulomb + bonded terms) must reproduce the
+neighbor-list/all-pairs path elementwise."""
+
+import itertools
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import reference_data_path
+
+pytestmark = pytest.mark.skipif(
+    reference_data_path("dibenzo-p-dioxin-in-water.xml") is None,
+    reason="reference fixtures not mounted",
+)
+
+
+def _fixture_system():
+    from emdee_tpu.modelling.forcefield import ForceField
+    from emdee_tpu.modelling.system import System
+
+    ff = ForceField(reference_data_path("dibenzo-p-dioxin-in-water.xml"))
+    return System(reference_data_path("dibenzo-p-dioxin-in-water.pdb"), ff)
+
+
+def _tile_system(system, reps=2):
+    """Replicate a periodic System reps× along each axis (bigger fixture)."""
+    import dataclasses
+
+    n = len(system)
+    box = float(system.box_lengths[0])
+    positions, bonds, spans = [], [], []
+    names, resnames, ff_types = [], [], []
+    for k, (ix, iy, iz) in enumerate(itertools.product(range(reps), repeat=3)):
+        off = np.array([ix, iy, iz], float) * box
+        positions.append(np.asarray(system.positions) + off)
+        bonds += [(a + k * n, b + k * n) for a, b in system.bonds]
+        spans += [(lo + k * n, hi + k * n) for lo, hi in system.residue_spans]
+        names += list(system.names)
+        resnames += list(system.resnames)
+        ff_types += list(system.ff_types)
+    reps3 = reps**3
+    from emdee_tpu.modelling.system import System
+
+    return System(
+        names=names,
+        resnames=resnames,
+        residue_spans=spans,
+        positions=np.concatenate(positions),
+        velocities=np.zeros((n * reps3, 3)),
+        masses=np.tile(np.asarray(system.masses), reps3),
+        bonds=bonds,
+        ff_types=ff_types,
+        charges=np.tile(np.asarray(system.charges), reps3),
+        box_lengths=np.asarray([box * reps] * 3),
+        force_field=system.force_field,
+    )
+
+
+def _list_path_reference(system, cutoff, switch, dt, steps, velocities):
+    """Trajectory on the established neighbor-list/all-pairs molecular path."""
+    from emdee_tpu.core.types import make_state
+    from emdee_tpu.dynamics.verlet import nve_rollout
+    from emdee_tpu.modelling.bonded import build_bonded_system
+    from emdee_tpu.neighbors.api import NonbondedConfig, make_force_fn
+    from emdee_tpu.potentials.coulomb import KJMOL_ANGSTROM
+
+    n = len(system)
+    box = float(system.box_lengths[0])
+    params = system.lj_params(10.0)
+    pairs, lj_s, c_s = system.exclusions(coulomb=True)
+    nb = make_force_fn(
+        NonbondedConfig(
+            cutoff=cutoff, switch=switch, method="allpairs",
+            coulomb_alpha=0.2, coulomb_constant=KJMOL_ANGSTROM,
+        ),
+        params, box, n,
+        exclusion_pairs=jnp.asarray(pairs, jnp.int32),
+        exclusion_scales=jnp.asarray(lj_s, jnp.float32),
+        charges=jnp.asarray(system.charges, jnp.float32),
+        exclusion_scales_coulomb=jnp.asarray(c_s, jnp.float32),
+    )
+    bonded = build_bonded_system(system, length_scale=10.0)
+    bf = bonded.force_fn()
+
+    def force_fn(positions, box_, aux):
+        f, aux = nb.force_fn(positions, box_, aux)
+        return f + bf(positions, box_), aux
+
+    state = make_state(system.positions, velocities, box=box, masses=system.masses)
+    final, _, _ = nve_rollout(state, nb.init(jnp.asarray(system.positions, jnp.float32)),
+                              force_fn, dt, steps)
+    e_tot = nb.compute(jnp.asarray(system.positions, jnp.float32), ())
+    pe0 = float(jnp.sum(e_tot.energies)) + float(
+        bonded.energy(jnp.asarray(system.positions, jnp.float32), jnp.float32(box))
+    )
+    return final, pe0
+
+
+def test_molecular_dense_matches_list_path_dioxin():
+    """The reference's golden system (1519 atoms, runtests.jl:48) runs NVE on
+    the production dense-cell engine and matches the list path elementwise."""
+    from emdee_tpu.neighbors.cell_dense import gather_dense_atoms
+    from emdee_tpu.neighbors.cell_dense_molecular import dense_sim_from_system
+
+    system = _fixture_system()
+    n = len(system)
+    box = float(system.box_lengths[0])
+    rng = np.random.default_rng(42)
+    vel = rng.normal(scale=0.05, size=(n, 3))
+    dt, steps = 2e-4, 12
+
+    state, rollout, energy, config = dense_sim_from_system(
+        system, cutoff=7.0, switch=6.0, dt=dt, skin=1.0, velocities=vel,
+    )
+    assert not bool(state.overflow)
+    pe_d, vir_d, ke_d = (float(x) for x in energy(state))
+
+    ref, pe_ref = _list_path_reference(system, 7.0, 6.0, dt, steps, vel)
+    # Total potential energy (LJ + DSF + exclusion corrections + bonded).
+    assert pe_d == pytest.approx(pe_ref, rel=1e-4, abs=2e-3)
+
+    out = rollout(state, num_steps=steps, rebin_every=4)
+    assert not bool(out.overflow)
+    pos_d, vel_d = gather_dense_atoms(out, n)
+    np.testing.assert_allclose(
+        pos_d % box, np.asarray(ref.positions) % box, atol=2e-3
+    )
+    np.testing.assert_allclose(vel_d, np.asarray(ref.velocities), atol=1e-2)
+
+
+def test_molecular_dense_water_box_10k():
+    """A ≥10k-atom water box (2×2×2 tiled fixture) on the dense engine:
+    matches the list path and conserves energy over a short NVE window."""
+    from emdee_tpu.neighbors.cell_dense import gather_dense_atoms
+    from emdee_tpu.neighbors.cell_dense_molecular import dense_sim_from_system
+
+    system = _tile_system(_fixture_system(), reps=2)
+    n = len(system)
+    assert n == 8 * 1519
+    box = float(system.box_lengths[0])
+    rng = np.random.default_rng(7)
+    vel = rng.normal(scale=0.05, size=(n, 3))
+    dt, steps = 2e-4, 6
+
+    state, rollout, energy, config = dense_sim_from_system(
+        system, cutoff=6.0, switch=5.0, dt=dt, skin=0.75, velocities=vel,
+    )
+    assert not bool(state.overflow)
+
+    ref, pe_ref = _list_path_reference(system, 6.0, 5.0, dt, steps, vel)
+    pe_d = float(energy(state)[0])
+    assert pe_d == pytest.approx(pe_ref, rel=3e-4, abs=2e-2)
+
+    out = rollout(state, num_steps=steps, rebin_every=4)
+    assert not bool(out.overflow)
+    pos_d, vel_d = gather_dense_atoms(out, n)
+    np.testing.assert_allclose(pos_d % box, np.asarray(ref.positions) % box, atol=2e-3)
+    np.testing.assert_allclose(vel_d, np.asarray(ref.velocities), rtol=2e-2, atol=3e-2)
