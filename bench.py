@@ -38,35 +38,68 @@ def main(n_target: int = 100_000, steps: int = 1000, report: bool = True) -> dic
 
     from emdee_tpu.neighbors.cell_dense import suggest_rebin_interval
 
-    config = suggest_cell_dense_config(n, box, cutoff=2.5, switch=2.0, skin=0.35)
     model = LennardJonesModel.create(2.5, 2.0)
     params = lennard_jones_atom(np.ones(n), np.ones(n))
 
-    state = cell_dense_init(pos, vel, np.ones(n), params, config)
+    uni = detect_uniform_params(params)
+
+    def build(config):
+        rollout, energy = make_cell_dense_sim(
+            config, model, dt=0.005, backend="auto",
+            uniform_params=uni, uniform_mass=1.0,
+        )
+        return rollout
+
+    # Equilibrate the melt at the WIDE capacity (mean+2.5σ): the hot start's
+    # density transients exceed what boundary-spill balancing can shed, so
+    # the tight config is only packed once the liquid is equilibrated.
+    from emdee_tpu.neighbors.cell_dense import gather_dense_atoms
+
+    wide = suggest_cell_dense_config(n, box, cutoff=2.5, switch=2.0, skin=0.35)
+    state = cell_dense_init(pos, vel, np.ones(n), params, wide)
     if bool(state.overflow):
-        config = config._replace(capacity=config.capacity * 2)
-        state = cell_dense_init(pos, vel, np.ones(n), params, config)
-    rollout, energy = make_cell_dense_sim(
-        config, model, dt=0.005, backend="auto",
-        uniform_params=detect_uniform_params(params),
-    )
+        wide = wide._replace(capacity=wide.capacity + 8)
+        state = cell_dense_init(pos, vel, np.ones(n), params, wide)
+    state = build(wide)(state, num_steps=200, rebin_every=2)
+    if bool(state.overflow):
+        raise SystemExit("equilibration overflow at wide capacity")
+    pos_eq, vel_eq = gather_dense_atoms(state, n)
 
-    # Melt start: half the initial T*=1.44 kinetic energy converts to
-    # potential; the equilibrated T is ~0.7 — pick the rebin cadence for it.
-    rebin_every = suggest_rebin_interval(config.skin, 0.005, temperature=0.75)
-    # Equilibrate off-measurement (frequent rebins for the hot start).
-    state = rollout(state, num_steps=200, rebin_every=2)
-    state = state._replace(overflow=jnp.asarray(False))
-    jax.block_until_ready(state.positions)
-    state_m = rollout(state, num_steps=steps, rebin_every=rebin_every)
-    jax.block_until_ready(state_m.positions)
+    def run(spill: bool):
+        """Measured window.  spill=True: tight capacity (mean+0.5σ) with
+        one-directional boundary-spill balancing — ~C² less pair work; the
+        sticky overflow flag guards the run and triggers the fallback."""
+        if spill:
+            config = suggest_cell_dense_config(
+                n, box, cutoff=2.5, switch=2.0, skin=0.25, spill=True,
+                spill_margin=0.11,
+            )
+        else:
+            config = wide
+        st = cell_dense_init(pos_eq, vel_eq, np.ones(n), params, config)
+        if bool(st.overflow):
+            return None, True
+        rollout = build(config)
+        rebin_every = suggest_rebin_interval(config.skin, 0.005, temperature=0.75)
+        st_m = rollout(st, num_steps=steps, rebin_every=rebin_every)
+        jax.block_until_ready(st_m.positions)
+        if bool(st_m.overflow):
+            return None, True
 
-    t0 = time.perf_counter()
-    state_m = rollout(state, num_steps=steps, rebin_every=rebin_every)
-    jax.block_until_ready(state_m.positions)
-    elapsed = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        st_m = rollout(st, num_steps=steps, rebin_every=rebin_every)
+        jax.block_until_ready(st_m.positions)
+        elapsed = time.perf_counter() - t0
+        return elapsed, bool(st_m.overflow)
 
-    overflowed = bool(state_m.overflow)
+    elapsed, overflowed = run(spill=True)
+    if overflowed or elapsed is None:
+        print(
+            "note: spill-balanced config overflowed; falling back to the "
+            "wide-capacity config",
+            file=sys.stderr,
+        )
+        elapsed, overflowed = run(spill=False)
     atom_steps = n * steps / elapsed
     result = {
         "metric": f"atom-steps/sec/chip ({n}-atom LJ fluid, rc=2.5, NVE, dense-cell engine)",

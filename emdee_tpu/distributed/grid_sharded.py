@@ -1,0 +1,543 @@
+"""3D grid-sharded dense-cell engine: the production multi-chip path.
+
+Shards the (M, M, M, C) slot grid over a 3D device mesh ("gz", "gy", "gx") —
+spatial domain decomposition in all three axes, lifting the 1D slab cap of
+`cell_dense_sharded` (device count there ≤ ⌊M/2⌋; here ≤ ⌊M/2⌋³).  The whole
+rollout runs inside ONE `shard_map` region, so every byte of communication is
+an explicit `ppermute` over the mesh ring — nothing left to the partitioner:
+
+- **Force pass** = the single-chip Pallas half-shell kernel
+  (`pallas_cell_kernel.halfshell_call`) on each shard's local block.  Ghost
+  cells come from 3 successive face exchanges (z, then y of the z-extended
+  block, then x) — two `ppermute`s per axis deliver faces, edges AND corners
+  (corner data rides through two hops).  Newton's 3rd law is kept across
+  shards: the kernel's reaction ghost buffer is folded back with the same
+  three exchanges in reverse — one extra ppermute pair per axis instead of
+  the 2× pair FLOPs of full-shell double compute.
+- **Rebin** = the gather-free shift rebin (`cell_dense._route_axis_pass`)
+  with the ±1-cell neighbor blocks delivered by halo ppermute — atom
+  migration between shards is the same one-layer exchange as the halo.
+- Elementwise integrator math needs no communication at all; global scalars
+  (energy, overflow, staleness) are `psum`/`pmax` reductions.
+
+This is the TPU-native analog of the multi-GPU spatial decomposition the
+reference never had (SURVEY.md §2b): `ppermute` over ICI plays the role warp
+shuffles play intra-GPU in `compute_tile!` (nonbonded.jl:68-84), one level up
+the hierarchy.  LJ-only (like the reference's kernel); molecular terms ride
+the single-chip engine for now.
+
+Mesh axis sizes of 1 degrade gracefully to local periodic wraps, so a
+(D, 1, 1) mesh reproduces the 1D slab decomposition and (1, 1, 1) the
+single-chip engine exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from emdee_tpu.core.pbc import wrap_scaled
+from emdee_tpu.neighbors.cell_dense import (
+    CellDenseConfig,
+    CellDenseState,
+    _route_axis_pass,
+)
+from emdee_tpu.potentials.lennard_jones import LennardJonesModel, pair_interaction
+
+AXES = ("gz", "gy", "gx")
+_FAR = 1.0e5
+
+# Grid axis k (0=z, 1=y, 2=x) ↔ position component (x=0, y=1, z=2).
+_COORD_OF_AXIS = (2, 1, 0)
+
+
+def make_grid_mesh(shape: Tuple[int, int, int], devices=None) -> Mesh:
+    """A (nz, ny, nx) device mesh with axes ("gz", "gy", "gx")."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = int(np.prod(shape))
+    if devices.size < n:
+        raise ValueError(f"need {n} devices, have {devices.size}")
+    return Mesh(devices[:n].reshape(shape), AXES)
+
+
+def validate_grid_config(config: CellDenseConfig, mesh: Mesh) -> Tuple[int, int, int]:
+    m = config.cells_per_dim
+    locs = []
+    for ax in AXES:
+        nd = mesh.shape[ax]
+        if m % nd != 0:
+            raise ValueError(f"cells_per_dim {m} must divide over {nd} ({ax}) devices")
+        loc = m // nd
+        if nd > 1 and loc < 2:
+            raise ValueError(f"{loc} cell layer(s) per device on {ax} — need ≥ 2")
+        locs.append(loc)
+    return tuple(locs)
+
+
+def _grid_leaves(state: CellDenseState, config: CellDenseConfig) -> CellDenseState:
+    """(M³, C, …) leaves → (M, M, M, C, …) grid layout (axes z, y, x)."""
+    m = config.cells_per_dim
+
+    def to_grid(a):
+        if getattr(a, "ndim", 0) >= 2 and a.shape[0] == config.num_cells:
+            return a.reshape((m, m, m) + a.shape[1:])
+        return a
+
+    return jax.tree_util.tree_map(to_grid, state)
+
+
+def _flat_leaves(state: CellDenseState, config: CellDenseConfig) -> CellDenseState:
+    m = config.cells_per_dim
+
+    def to_flat(a):
+        if getattr(a, "ndim", 0) >= 4 and a.shape[:3] == (m, m, m):
+            return a.reshape((config.num_cells,) + a.shape[3:])
+        return a
+
+    return jax.tree_util.tree_map(to_flat, state)
+
+
+def distribute_grid(state: CellDenseState, config: CellDenseConfig, mesh: Mesh):
+    """Single-chip CellDenseState → grid-layout state sharded over the mesh."""
+    g = _grid_leaves(state, config)
+    shard = NamedSharding(mesh, P(*AXES))
+    rep = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, shard if getattr(a, "ndim", 0) >= 3 else rep), g
+    )
+
+
+def gather_grid_atoms(state: CellDenseState, config: CellDenseConfig, num_atoms: int):
+    """Grid-sharded state → (N, 3) positions/velocities by atom id (host)."""
+    from emdee_tpu.neighbors.cell_dense import gather_dense_atoms
+
+    flat = jax.device_get(_flat_leaves(state, config))
+    return gather_dense_atoms(flat, num_atoms)
+
+
+def make_grid_sharded_sim(
+    config: CellDenseConfig,
+    model: LennardJonesModel,
+    dt: float,
+    mesh: Mesh,
+    backend: str = "auto",
+    uniform_params=None,
+):
+    """(rollout, energy) closures; state is grid-layout, mesh-sharded.
+
+    backend: 'pallas' (TPU kernel per shard), 'pallas_interpret' (kernel in
+    interpreter mode — CPU-mesh tests of the REAL communication pattern),
+    'xla' (portable half-shell via static slices of the ghost grid), 'auto'.
+    """
+    mz, my, mx = validate_grid_config(config, mesh)
+    sizes = tuple(mesh.shape[ax] for ax in AXES)
+    m = config.cells_per_dim
+    c = config.capacity
+    box = jnp.float32(config.box)
+    dt_f = jnp.float32(dt)
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+    uniform = uniform_params is not None
+
+    spec = P(*AXES)
+    rep = P()
+    spill_eps = float(config.cell_side) - float(config.cutoff) - float(config.skin)
+
+    # ---- communication primitives (inside shard_map) ----
+
+    def _edge(x, axis, take_hi):
+        nloc = x.shape[axis]
+        return jax.lax.slice_in_dim(x, nloc - 1 if take_hi else 0, nloc if take_hi else 1, axis=axis)
+
+    def _halo(x, axis, coord_shift=None):
+        """(…) local block → (lo, hi) neighbor boundary layers along grid
+        axis (0=z,1=y,2=x).  coord_shift: the box-wrap offset to apply to a
+        COORDINATE field crossing the global seam (None for non-coords)."""
+        size = sizes[axis]
+        lo_src = _edge(x, axis, take_hi=True)  # neighbor below sends its top
+        hi_src = _edge(x, axis, take_hi=False)
+        if size == 1:
+            lo, hi = lo_src, hi_src
+            if coord_shift is not None:
+                lo = lo - coord_shift
+                hi = hi + coord_shift
+            return lo, hi
+        fwd = [(i, (i + 1) % size) for i in range(size)]
+        back = [(i, (i - 1) % size) for i in range(size)]
+        lo = jax.lax.ppermute(lo_src, AXES[axis], fwd)
+        hi = jax.lax.ppermute(hi_src, AXES[axis], back)
+        if coord_shift is not None:
+            idx = jax.lax.axis_index(AXES[axis])
+            lo = jnp.where(idx == 0, lo - coord_shift, lo)
+            hi = jnp.where(idx == size - 1, hi + coord_shift, hi)
+        return lo, hi
+
+    def _ghost3(x, coord_axis=None):
+        """Local (mz, my, mx, C…) block → (mz+2, my+2, mx+2, C…) ghost grid.
+        coord_axis: grid axis whose coordinate this field is (box shifts at
+        the global seam), or None."""
+        for axis in (0, 1, 2):
+            shift = box if coord_axis == axis else None
+            lo, hi = _halo(x, axis, coord_shift=shift)
+            x = jnp.concatenate([lo, x, hi], axis=axis)
+        return x
+
+    def _fold3(r):
+        """Reaction ghost (mz+2, my+2, mx+2, C…) → interior (mz, my, mx, C…)
+        with each ghost layer delivered back to its owner (reverse order)."""
+        for axis in (2, 1, 0):
+            size = sizes[axis]
+            n_ext = r.shape[axis]
+            lo_g = jax.lax.slice_in_dim(r, 0, 1, axis=axis)
+            hi_g = jax.lax.slice_in_dim(r, n_ext - 1, n_ext, axis=axis)
+            body = jax.lax.slice_in_dim(r, 1, n_ext - 1, axis=axis)
+            if size > 1:
+                # My lo ghost belongs to my −axis neighbor's top layer.
+                fwd = [(i, (i + 1) % size) for i in range(size)]
+                back = [(i, (i - 1) % size) for i in range(size)]
+                lo_g = jax.lax.ppermute(lo_g, AXES[axis], back)  # goes down
+                hi_g = jax.lax.ppermute(hi_g, AXES[axis], fwd)
+                # After the permute: lo_g here is my +axis neighbor's lo ghost
+                # → belongs to MY top layer; hi_g is my −axis neighbor's hi
+                # ghost → my bottom layer.
+            nloc = body.shape[axis]
+            first = jax.lax.slice_in_dim(body, 0, 1, axis=axis) + hi_g
+            mid = jax.lax.slice_in_dim(body, 1, nloc - 1, axis=axis)
+            last = jax.lax.slice_in_dim(body, nloc - 1, nloc, axis=axis) + lo_g
+            r = jnp.concatenate([first, mid, last], axis=axis)
+        return r
+
+    # ---- per-shard force pass ----
+
+    def _global_slot_ids(c_):
+        """Globally-unique slot ids (mz, my, mx, C) for sentinel spacing."""
+        iz = jax.lax.axis_index(AXES[0]) * mz + jnp.arange(mz)[:, None, None, None]
+        iy = jax.lax.axis_index(AXES[1]) * my + jnp.arange(my)[None, :, None, None]
+        ix = jax.lax.axis_index(AXES[2]) * mx + jnp.arange(mx)[None, None, :, None]
+        cell = ix + m * (iy + m * iz)
+        return (cell * c_ + jnp.arange(c_)[None, None, None, :]).astype(jnp.float32)
+
+    def _sentinel(pos, valid):
+        far = _FAR + 7.0 * _global_slot_ids(c)
+        return jnp.where(valid[..., None], pos, far[..., None])
+
+    def _local_forces_pallas(pos, hs, tse, valid, interpret):
+        from emdee_tpu.neighbors.pallas_cell_kernel import (
+            _const_tiles,
+            halfshell_call,
+        )
+
+        gz, gy, gx = mz + 2, my + 2, mx + 2
+        pos = _sentinel(pos, valid)
+        fields = [
+            (pos[..., 0], 2), (pos[..., 1], 1), (pos[..., 2], 0),
+        ]
+        if not uniform:
+            fields += [(hs, None), (tse, None)]
+        ghosts = [
+            _ghost3(f, coord_axis=ca).reshape(gz * gy, gx * c) for f, ca in fields
+        ]
+
+        def center(a):  # (mz, my, mx, C) → (mz·my, C, mx)
+            return a.reshape(mz * my, mx, c).transpose(0, 2, 1)
+
+        cen = [center(pos[..., 0]), center(pos[..., 1]), center(pos[..., 2])]
+        if not uniform:
+            cen += [center(hs), center(tse)]
+        centers = jnp.concatenate(cen, axis=1)
+        inputs = tuple(ghosts) + (centers,) + _const_tiles(mx, c)
+        outs = halfshell_call(
+            inputs, config, (mz, my, mx),
+            compute_energy=False, interpret=interpret,
+            uniform_params=uniform_params,
+        )
+        fx, fy, fz, react = outs[:4]
+
+        def uncenter(a):  # (mz·my, C, mx) → (mz, my, mx, C)
+            return a.transpose(0, 2, 1).reshape(mz, my, mx, c)
+
+        forces = jnp.stack([uncenter(fx), uncenter(fy), uncenter(fz)], axis=-1)
+        react = react.reshape(3, gz, gy, gx, c)
+        rfold = jnp.stack([_fold3(react[k]) for k in range(3)], axis=-1)
+        return forces + rfold
+
+    def _local_forces_xla(pos, hs, tse, valid, compute_energy):
+        """Portable half-shell on the ghost grid: static slices, same comm."""
+        # Coordinates need per-axis seam shifts; build per-component ghosts.
+        gx_ = _ghost3(pos[..., 0], coord_axis=2)
+        gy_ = _ghost3(pos[..., 1], coord_axis=1)
+        gz_ = _ghost3(pos[..., 2], coord_axis=0)
+        gpos = jnp.stack([gx_, gy_, gz_], axis=-1)  # (mz+2, my+2, mx+2, C, 3)
+        ghs = _ghost3(hs)
+        gtse = _ghost3(tse)
+        gvalid = _ghost3(valid)
+
+        def block(g, dz, dy, dx):
+            return jax.lax.slice(
+                g,
+                (1 + dz, 1 + dy, 1 + dx) + (0,) * (g.ndim - 3),
+                (1 + dz + mz, 1 + dy + my, 1 + dx + mx) + g.shape[3:],
+            )
+
+        half_shell = [
+            (dz, dy, dx)
+            for dz in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+            if (dz, dy, dx) > (0, 0, 0)
+        ]
+        cells = (mz, my, mx)
+        forces = jnp.zeros_like(pos)
+        energies = jnp.zeros_like(hs) if compute_energy else None
+        virials = jnp.zeros_like(hs) if compute_energy else None
+        react = jnp.zeros((mz + 2, my + 2, mx + 2, c, 3), pos.dtype)
+        e_react = jnp.zeros((mz + 2, my + 2, mx + 2, c), pos.dtype) if compute_energy else None
+        w_react = jnp.zeros_like(e_react) if compute_energy else None
+        eye = jnp.eye(c, dtype=bool)
+
+        # Self-cell tile (both directions, no reaction needed).
+        dv = pos[..., :, None, :] - pos[..., None, :, :]
+        r2 = jnp.sum(dv * dv, axis=-1)
+        ok = valid[..., :, None] & valid[..., None, :] & ~eye
+        r2s = jnp.where(ok, r2, 1.0)
+        e, mrE = pair_interaction(
+            r2s, model, hs[..., :, None], tse[..., :, None], hs[..., None, :], tse[..., None, :]
+        )
+        g = jnp.where(ok, mrE / r2s, 0.0)
+        forces = forces + jnp.sum(g[..., None] * dv, axis=-2)
+        if compute_energy:
+            energies = energies + 0.5 * jnp.sum(jnp.where(ok, e, 0.0), axis=-1)
+            virials = virials + 0.5 * jnp.sum(jnp.where(ok, mrE, 0.0), axis=-1)
+
+        for dz, dy, dx in half_shell:
+            npos = block(gpos, dz, dy, dx)
+            nhs = block(ghs, dz, dy, dx)
+            ntse = block(gtse, dz, dy, dx)
+            nvalid = block(gvalid, dz, dy, dx)
+            dv = pos[..., :, None, :] - npos[..., None, :, :]
+            r2 = jnp.sum(dv * dv, axis=-1)
+            ok = valid[..., :, None] & nvalid[..., None, :]
+            r2s = jnp.where(ok, r2, 1.0)
+            e, mrE = pair_interaction(
+                r2s, model,
+                hs[..., :, None], tse[..., :, None],
+                nhs[..., None, :], ntse[..., None, :],
+            )
+            g = jnp.where(ok, mrE / r2s, 0.0)
+            gdv = g[..., None] * dv
+            forces = forces + jnp.sum(gdv, axis=-2)
+            reaction = -jnp.sum(gdv, axis=-3)  # (mz, my, mx, C, 3)
+            pad = [(1 + dz, 1 - dz), (1 + dy, 1 - dy), (1 + dx, 1 - dx), (0, 0), (0, 0)]
+            react = react + jnp.pad(reaction, pad)
+            if compute_energy:
+                e_m = jnp.where(ok, e, 0.0)
+                w_m = jnp.where(ok, mrE, 0.0)
+                energies = energies + 0.5 * jnp.sum(e_m, axis=-1)
+                virials = virials + 0.5 * jnp.sum(w_m, axis=-1)
+                e_r = 0.5 * jnp.sum(e_m, axis=-2)
+                w_r = 0.5 * jnp.sum(w_m, axis=-2)
+                e_react = e_react + jnp.pad(e_r, pad[:-1])
+                w_react = w_react + jnp.pad(w_r, pad[:-1])
+
+        forces = forces + _fold3(react)
+        if compute_energy:
+            energies = energies + _fold3(e_react)
+            virials = virials + _fold3(w_react)
+            return forces, energies, virials
+        return forces
+
+    if backend in ("pallas", "pallas_interpret"):
+        interp = backend == "pallas_interpret"
+
+        def forces_of(pos, hs, tse, valid):
+            return _local_forces_pallas(pos, hs, tse, valid, interp)
+    else:
+
+        def forces_of(pos, hs, tse, valid):
+            return _local_forces_xla(pos, hs, tse, valid, compute_energy=False)
+
+    # ---- per-shard shift rebin ----
+
+    def _nbr_factory(axis):
+        """nbr(x, δ) for `_route_axis_pass`: content of the δ=±1 grid-axis
+        neighbor cell, for (cells_loc, C) or (cells_loc,) arrays — one halo
+        ppermute when the mesh axis is sharded, a local roll otherwise."""
+        locs = (mz, my, mx)
+        nloc = locs[axis]
+        size = sizes[axis]
+
+        def nbr(x, d):
+            shaped = x.reshape((mz, my, mx) + x.shape[1:])
+            if size == 1:
+                out = jnp.roll(shaped, -d, axis=axis)
+            elif d == +1:
+                # Content of my +1 cell: local rows 1.. plus the +neighbor's
+                # first layer (each device sends its first layer downward).
+                main = jax.lax.slice_in_dim(shaped, 1, nloc, axis=axis)
+                send = jax.lax.slice_in_dim(shaped, 0, 1, axis=axis)
+                hi = jax.lax.ppermute(
+                    send, AXES[axis], [(i, (i - 1) % size) for i in range(size)]
+                )
+                out = jnp.concatenate([main, hi], axis=axis)
+            else:
+                main = jax.lax.slice_in_dim(shaped, 0, nloc - 1, axis=axis)
+                send = jax.lax.slice_in_dim(shaped, nloc - 1, nloc, axis=axis)
+                lo = jax.lax.ppermute(
+                    send, AXES[axis], [(i, (i + 1) % size) for i in range(size)]
+                )
+                out = jnp.concatenate([lo, main], axis=axis)
+            return out.reshape(x.shape)
+
+        return nbr
+
+    def _b_global(axis):
+        """(cells_loc,) global cell coordinate along one grid axis."""
+        locs = (mz, my, mx)
+        base = jax.lax.axis_index(AXES[axis]) * locs[axis]
+        ar = base + jnp.arange(locs[axis], dtype=jnp.int32)
+        shape = [1, 1, 1]
+        shape[axis] = locs[axis]
+        grid = ar.reshape(shape) * jnp.ones((mz, my, mx), jnp.int32)
+        return grid.reshape(mz * my * mx)
+
+    def _rebin_local(pos, vel, inv_m, hs, tse, aid, valid, overflow, forces):
+        """Per-shard shift rebin: three ±1 routing passes (z, y, x), each
+        pass's cross-shard candidate layers delivered by one ppermute pair —
+        atom migration between shards costs the same as a halo exchange."""
+        ncl = mz * my * mx
+        flat = lambda a: a.reshape((ncl,) + a.shape[3:])
+        posf = flat(pos)
+        validf = flat(valid)
+        posw = jnp.where(validf[..., None], posf - jnp.floor(posf / box) * box, 0.0)
+        fields = [posw[..., 0], posw[..., 1], posw[..., 2]]
+        fields += [flat(vel)[..., i] for i in range(3)]
+        fields += [flat(inv_m), flat(hs), flat(tse)]
+        fields += [flat(forces)[..., i] for i in range(3)]
+        fields.append(flat(aid))
+        # Pass order z, y, x — matches the single-chip `_rebin_shift`, so
+        # slot order (and with it f32 summation order) is identical.
+        for axis in (0, 1, 2):
+            cf = _COORD_OF_AXIS[axis]
+            fields, validf, overflow = _route_axis_pass(
+                fields, validf, overflow, cf, _b_global(axis), m, config,
+                spill_eps, _nbr_factory(axis),
+            )
+        unflat = lambda a: a.reshape((mz, my, mx) + a.shape[1:])
+        new_pos = jnp.stack(fields[0:3], axis=-1)
+        new_pos = jnp.where(validf[..., None], new_pos, 0.0)
+        zero = lambda a: jnp.where(validf, a, 0.0)
+        new_vel = jnp.where(validf[..., None], jnp.stack(fields[3:6], axis=-1), 0.0)
+        new_f = jnp.where(validf[..., None], jnp.stack(fields[9:12], axis=-1), 0.0)
+        new_aid = jnp.where(validf, fields[12], config.num_slots)
+        return (
+            unflat(new_pos), unflat(new_vel), unflat(zero(fields[6])),
+            unflat(zero(fields[7])), unflat(zero(fields[8])), unflat(new_aid),
+            unflat(validf), overflow, unflat(new_f), unflat(new_pos),
+        )
+
+    def _needs_rebin_local(pos, ref, valid):
+        dvv = pos - ref
+        dvv = dvv - jnp.round(dvv / box) * box
+        d2 = jnp.sum(dvv * dvv, axis=-1)
+        d2 = jnp.where(valid, d2, 0.0)
+        return jnp.max(d2) > (0.5 * config.skin) ** 2
+
+    def _all_reduce_or(flag):
+        v = flag.astype(jnp.int32)
+        for ax in AXES:
+            v = jax.lax.pmax(v, ax)
+        return v > 0
+
+    # ---- rollout under one shard_map ----
+
+    def _rollout_local(num_steps, rebin_every, pos, vel, inv_m, hs, tse, aid,
+                       valid, ref, step, overflow):
+        def make_one_step(inv_m, hs, tse, valid):
+            def one_step(carry, _):
+                pos, vel, f = carry
+                v_half = vel + (0.5 * dt_f) * f * inv_m[..., None]
+                new_pos = pos + dt_f * v_half
+                new_pos = jnp.where(valid[..., None], new_pos, pos)
+                f_new = forces_of(new_pos, hs, tse, valid)
+                v_new = v_half + (0.5 * dt_f) * f_new * inv_m[..., None]
+                return (new_pos, v_new, f_new), None
+
+            return one_step
+
+        def run_block(carry, length):
+            pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f = carry
+            (pos, vel, inv_m, hs, tse, aid, valid, overflow, f, ref) = _rebin_local(
+                pos, vel, inv_m, hs, tse, aid, valid, overflow, f
+            )
+            (pos, vel, f), _ = jax.lax.scan(
+                make_one_step(inv_m, hs, tse, valid), (pos, vel, f), None, length=length
+            )
+            overflow = overflow | _needs_rebin_local(pos, ref, valid)
+            return (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f)
+
+        f0 = forces_of(pos, hs, tse, valid)
+        blocks, rem = divmod(num_steps, rebin_every)
+        carry = (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f0)
+        if blocks:
+            carry, _ = jax.lax.scan(
+                lambda cr, _: (run_block(cr, rebin_every), None), carry, None,
+                length=blocks,
+            )
+        if rem:
+            carry = run_block(carry, rem)
+        (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f) = carry
+        overflow = _all_reduce_or(overflow)
+        return pos, vel, inv_m, hs, tse, aid, valid, ref, step + num_steps, overflow
+
+    @partial(jax.jit, static_argnames=("num_steps", "rebin_every"))
+    def rollout(state: CellDenseState, num_steps: int, rebin_every: int = 10):
+        fn = jax.shard_map(
+            partial(_rollout_local, num_steps, rebin_every),
+            mesh=mesh,
+            in_specs=(spec,) * 8 + (rep, rep),
+            out_specs=(spec,) * 8 + (rep, rep),
+            check_vma=False,
+        )
+        (pos, vel, inv_m, hs, tse, aid, valid, ref, step, overflow) = fn(
+            state.positions, state.velocities, state.inv_masses, state.half_sigma,
+            state.twice_sqrt_eps, state.atom_id, state.valid, state.ref_positions,
+            state.step, state.overflow,
+        )
+        return state._replace(
+            positions=pos, velocities=vel, inv_masses=inv_m, half_sigma=hs,
+            twice_sqrt_eps=tse, atom_id=aid, valid=valid, ref_positions=ref,
+            step=step, overflow=overflow,
+        )
+
+    def _energy_local(pos, vel, inv_m, hs, tse, valid):
+        f, e, w = _local_forces_xla(pos, hs, tse, valid, compute_energy=True)
+        pe = jnp.sum(jnp.where(valid, e, 0.0))
+        vir = jnp.sum(jnp.where(valid, w, 0.0))
+        ke = 0.5 * jnp.sum(
+            jnp.where(valid[..., None], vel**2 / jnp.maximum(inv_m[..., None], 1e-30), 0.0)
+        )
+        out = jnp.stack([pe, vir, ke])
+        for ax in AXES:
+            out = jax.lax.psum(out, ax)
+        return out[0], out[1], out[2]
+
+    @jax.jit
+    def energy(state: CellDenseState):
+        fn = jax.shard_map(
+            _energy_local,
+            mesh=mesh,
+            in_specs=(spec,) * 6,
+            out_specs=(rep, rep, rep),
+            check_vma=False,
+        )
+        return fn(
+            state.positions, state.velocities, state.inv_masses,
+            state.half_sigma, state.twice_sqrt_eps, state.valid,
+        )
+
+    return rollout, energy

@@ -1,0 +1,123 @@
+"""3D grid-sharded dense-cell engine on the virtual 8-device CPU mesh:
+(2,2,2), (2,4,1) and (8,1,1) decompositions must reproduce the single-chip
+engine; Newton-3 reaction halos and shift-rebin migration included."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emdee_tpu.distributed.grid_sharded import (
+    distribute_grid,
+    gather_grid_atoms,
+    make_grid_mesh,
+    make_grid_sharded_sim,
+    validate_grid_config,
+)
+from emdee_tpu.neighbors.cell_dense import (
+    cell_dense_forces,
+    cell_dense_init,
+    gather_dense_atoms,
+    make_cell_dense_sim,
+    suggest_cell_dense_config,
+)
+from emdee_tpu.potentials.lennard_jones import LennardJonesModel, lennard_jones_atom
+from emdee_tpu.utils.lattice import cubic_lattice, maxwell_boltzmann
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _setup(n=4096, density=0.25, T=0.9, seed=21):
+    pos, L = cubic_lattice(n, density, jitter=0.1, seed=seed)
+    vel = maxwell_boltzmann(n, T, seed=seed + 1)
+    params = lennard_jones_atom(np.ones(n), np.ones(n))
+    config = suggest_cell_dense_config(n, L, cutoff=2.5, switch=2.0, skin=0.3)
+    m = (config.cells_per_dim // 8) * 8
+    if m < 8:
+        m = 8
+    config = config._replace(cells_per_dim=m)
+    model = LennardJonesModel.create(2.5, 2.0)
+    st = cell_dense_init(pos, vel, np.ones(n), params, config)
+    assert not bool(st.overflow)
+    return st, config, model, n
+
+
+def test_validate():
+    st, config, model, n = _setup()
+    mesh = make_grid_mesh((2, 2, 2))
+    assert validate_grid_config(config, mesh) == (config.cells_per_dim // 2,) * 3
+    bad = config._replace(cells_per_dim=config.cells_per_dim + 1)
+    with pytest.raises(ValueError, match="divide"):
+        validate_grid_config(bad, mesh)
+
+
+@pytest.mark.parametrize("shape", [(2, 2, 2), (2, 4, 1), (4, 1, 1)])
+def test_grid_energy_matches_single_chip(shape):
+    st, config, model, n = _setup()
+    mesh = make_grid_mesh(shape)
+    st_sh = distribute_grid(st, config, mesh)
+    rollout, energy = make_grid_sharded_sim(config, model, 0.002, mesh, backend="xla")
+    pe, vir, ke = energy(st_sh)
+
+    _, e_ref, w_ref = cell_dense_forces(st, model, config, compute_energy=True)
+    np.testing.assert_allclose(
+        float(pe), float(jnp.where(st.valid, e_ref, 0).sum()), rtol=1e-5, atol=1e-2
+    )
+    np.testing.assert_allclose(
+        float(vir), float(jnp.where(st.valid, w_ref, 0).sum()), rtol=1e-5, atol=1e-2
+    )
+
+
+@pytest.mark.parametrize("shape", [(2, 2, 2), (2, 4, 1)])
+def test_grid_rollout_matches_single_chip(shape):
+    st, config, model, n = _setup(n=2048, density=0.09)
+    rollout_1, _ = make_cell_dense_sim(config, model, dt=0.002, backend="xla")
+    ref = rollout_1(st, num_steps=30, rebin_every=5)
+    assert not bool(ref.overflow)
+
+    mesh = make_grid_mesh(shape)
+    st_sh = distribute_grid(st, config, mesh)
+    rollout_n, _ = make_grid_sharded_sim(config, model, 0.002, mesh, backend="xla")
+    out = rollout_n(st_sh, num_steps=30, rebin_every=5)
+    assert not bool(out.overflow)
+    assert int(out.step) == 30
+
+    p_ref, v_ref = gather_dense_atoms(ref, n)
+    p_out, v_out = gather_grid_atoms(out, config, n)
+    np.testing.assert_allclose(p_out, p_ref, atol=2e-4)
+    np.testing.assert_allclose(v_out, v_ref, atol=2e-4)
+
+
+def test_grid_energy_conservation():
+    st, config, model, n = _setup(n=4096, density=0.25, T=0.8)
+    mesh = make_grid_mesh((2, 2, 2))
+    st_sh = distribute_grid(st, config, mesh)
+    rollout, energy = make_grid_sharded_sim(config, model, 0.002, mesh, backend="xla")
+    st_sh = rollout(st_sh, num_steps=100, rebin_every=2)  # settle hot start
+    st_sh = st_sh._replace(overflow=jnp.asarray(False))
+    pe0, _, ke0 = (float(x) for x in energy(st_sh))
+    st_sh = rollout(st_sh, num_steps=200, rebin_every=5)
+    assert not bool(st_sh.overflow)
+    pe1, _, ke1 = (float(x) for x in energy(st_sh))
+    assert abs((pe1 + ke1) - (pe0 + ke0)) / max(ke0, 1.0) < 5e-4
+
+
+def test_grid_pallas_interpret_matches_xla():
+    """The Pallas per-shard kernel (interpret mode) under shard_map agrees
+    with the portable XLA half-shell — the real TPU communication pattern,
+    executed on the CPU mesh."""
+    st, config, model, n = _setup(n=1024, density=0.12)
+    mesh = make_grid_mesh((2, 2, 2))
+    st_sh = distribute_grid(st, config, mesh)
+    r_xla, _ = make_grid_sharded_sim(config, model, 0.002, mesh, backend="xla")
+    r_pal, _ = make_grid_sharded_sim(
+        config, model, 0.002, mesh, backend="pallas_interpret"
+    )
+    out_x = r_xla(st_sh, num_steps=4, rebin_every=2)
+    out_p = r_pal(st_sh, num_steps=4, rebin_every=2)
+    px, vx = gather_grid_atoms(out_x, config, n)
+    pp, vp = gather_grid_atoms(out_p, config, n)
+    np.testing.assert_allclose(pp, px, atol=1e-4)
+    np.testing.assert_allclose(vp, vx, atol=1e-4)
