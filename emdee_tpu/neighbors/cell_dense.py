@@ -58,6 +58,12 @@ class CellDenseConfig(NamedTuple):
     # the mean occupancy instead of covering the 2.5σ tail.  Requires the
     # shift rebin and cell side > cutoff + skin.
     spill: bool = False
+    # Squeeze mode: spill toward an occupancy ≤ spill_target < capacity
+    # (0 → use capacity).  Lets a wide-capacity state be progressively
+    # packed over successive rebins — thermal motion refreshes the
+    # near-face eligible set each rebin — until `shrink_capacity` can
+    # slice the empty columns off.
+    spill_target: int = 0
 
     @property
     def num_cells(self) -> int:
@@ -373,15 +379,16 @@ def _route_axis_pass(fields, valid, overflow, cf, b, m, config, spill_eps, nbr):
         # defined.  This lets capacity sit near mean+0.5σ instead of
         # mean+2.5σ; pair work ~C², so the occupancy tail is the
         # difference between C=32 and C=24 at the 100k benchmark.
+        c_t = config.spill_target or c  # squeeze mode targets below capacity
         sums = lambda a: jnp.sum(a, axis=1, dtype=jnp.int32)
         count0 = (
             nbr(sums(g_plus), -1) + sums(g_stay) + nbr(sums(g_minus), +1)
         )  # arrivals per dest cell before spilling
-        excess = jnp.maximum(count0 - c, 0)
+        excess = jnp.maximum(count0 - c_t, 0)
         # Room in cell b+1 from pre-spill counts: a cell that itself
         # sheds has room 0 and receives nothing; shedding only frees
         # space, so pre-spill room is conservative.
-        room = jnp.maximum(c - count0, 0)
+        room = jnp.maximum(c_t - count0, 0)
         budget_plus = nbr(room, +1)
         frac = m * wrap_scaled(coord / box) - t.astype(coord.dtype)
         eps_frac = spill_eps / float(config.cell_side)
@@ -391,13 +398,32 @@ def _route_axis_pass(fields, valid, overflow, cf, b, m, config, spill_eps, nbr):
         spill_p = elig_plus & (csum(elig_plus) < n_plus[:, None])
         g_stay = g_stay & ~spill_p
         g_plus = g_plus | spill_p
-        # A spill across the periodic boundary must store an unwrapped
+        # Hold-backs: a −1 mover (true cell = b−1) still within ε of the
+        # face it crossed may stay stored in b — the SAME one-directional
+        # contract (stored = true or true+1), viewed from the other side.
+        # Recent down-crossers are almost always within drift ≤ skin/2 ≲ ε
+        # of the face, so holds roughly double the shedding eligibility.
+        # From dest cell q's view a hold in q+1 removes one arrival exactly
+        # like a spill from q, so both share the excess/room budget.
+        elig_hold = g_minus & (frac > 1.0 - eps_frac)
+        n_hold = jnp.minimum(
+            jnp.minimum(excess - n_plus, budget_plus - n_plus),
+            nbr(sums(elig_hold), +1),
+        )
+        n_hold_here = nbr(n_hold, -1)  # my own holds, decided by cell b−1
+        hold_p = elig_hold & (csum(elig_hold) < n_hold_here[:, None])
+        g_minus = g_minus & ~hold_p
+        g_stay = g_stay | hold_p
+        # A spill/hold across the periodic boundary must store an unwrapped
         # coordinate coherent with the stored cell's frame (the force
         # kernel's ghost copies shift by ±L per CELL index, assuming
         # positions sit near their stored cell) — exactly the same
         # overhang contract as inter-rebin drift.
         wrap_p = spill_p & (b == m - 1)[:, None]
-        fields[cf] = jnp.where(wrap_p, coord - box, fields[cf])
+        wrap_h = hold_p & (b == 0)[:, None]
+        fields[cf] = jnp.where(
+            wrap_p | wrap_h, coord - box, fields[cf]
+        )
 
     # Dest cell q's candidates: [q−1's g_plus, q's g_stay, q+1's g_minus].
     mask = jnp.concatenate([nbr(g_plus, -1), g_stay, nbr(g_minus, +1)], axis=1)
@@ -560,37 +586,80 @@ def _spill_assign_np(positions, config: CellDenseConfig):
     s = pos / box - np.floor(pos / box)
     v = np.clip(np.floor(m * s).astype(np.int64), 0, m - 1)
     frac = m * s - v
-    cell = (v[:, 0] + m * (v[:, 1] + m * v[:, 2])).astype(np.int64)
+    true_cell = (v[:, 0] + m * (v[:, 1] + m * v[:, 2])).astype(np.int64)
+    cell = true_cell.copy()
     pos_out = np.asarray(positions, np.float32).copy()
     counts = np.bincount(cell, minlength=m**3)
     if eps <= 0.0:
         return cell.astype(np.int32), pos_out, bool(counts.max() <= cap)
     strides = (1, m, m * m)
-    for ax in (0, 1, 2):
-        over = np.flatnonzero(counts > cap)
-        if not over.size:
+    # Iterate until converged: shedding can cascade (a receiving cell sheds
+    # its own near-face atoms next round), which the runtime spill gets for
+    # free across successive rebins.  Only unspilled atoms (stored == true)
+    # are eligible — stored may only ever be true or true+1 along each axis.
+    for _ in range(16):
+        progressed = False
+        for ax in (0, 1, 2):
+            over = np.flatnonzero(counts > cap)
+            if not over.size:
+                break
+            stride = strides[ax]
+            for cid in over:
+                need = int(counts[cid] - cap)
+                if need <= 0:
+                    continue
+                coord_ax = (cid // stride) % m
+                ncid = cid + stride if coord_ax < m - 1 else cid - (m - 1) * stride
+                room = int(cap - counts[ncid])
+                if room <= 0:
+                    continue
+                members = np.flatnonzero((cell == cid) & (true_cell == cid))
+                elig = members[frac[members, ax] > 1.0 - eps / h]
+                elig = elig[np.argsort(-frac[elig, ax])][: min(need, room)]
+                if not elig.size:
+                    continue
+                cell[elig] = ncid
+                counts[cid] -= elig.size
+                counts[ncid] += elig.size
+                progressed = True
+                if coord_ax == m - 1:  # periodic seam: store a coherent coord
+                    pos_out[elig, ax] -= box
+        if counts.max() <= cap or not progressed:
             break
-        stride = strides[ax]
-        for cid in over:
-            need = int(counts[cid] - cap)
-            if need <= 0:
-                continue
-            coord_ax = (cid // stride) % m
-            ncid = cid + stride if coord_ax < m - 1 else cid - (m - 1) * stride
-            room = int(cap - counts[ncid])
-            if room <= 0:
-                continue
-            members = np.flatnonzero(cell == cid)
-            elig = members[frac[members, ax] > 1.0 - eps / h]
-            elig = elig[np.argsort(-frac[elig, ax])][: min(need, room)]
-            if not elig.size:
-                continue
-            cell[elig] = ncid
-            counts[cid] -= elig.size
-            counts[ncid] += elig.size
-            if coord_ax == m - 1:  # periodic seam: store a coherent coord
-                pos_out[elig, ax] -= box
     return cell.astype(np.int32), pos_out, bool(counts.max() <= cap)
+
+
+def shrink_capacity(state: CellDenseState, config: CellDenseConfig, new_capacity: int):
+    """Slice the slot-column axis down to `new_capacity` after a spill
+    squeeze has emptied the upper columns (compaction always packs valid
+    slots first, so occupancy ≤ new_capacity ⟺ columns ≥ new_capacity are
+    empty).  Returns (state, config) at the new capacity; raises if any
+    upper-column slot is still occupied."""
+    if new_capacity >= config.capacity:
+        return state, config
+    leftover = int(np.asarray(state.valid)[:, new_capacity:].sum())
+    if leftover:
+        raise ValueError(
+            f"{leftover} atoms still stored beyond capacity {new_capacity} — "
+            "squeeze has not converged (run more rebins with spill_target set)"
+        )
+    cut = lambda a: a[:, :new_capacity]
+    return (
+        CellDenseState(
+            positions=cut(state.positions),
+            velocities=cut(state.velocities),
+            inv_masses=cut(state.inv_masses),
+            half_sigma=cut(state.half_sigma),
+            twice_sqrt_eps=cut(state.twice_sqrt_eps),
+            atom_id=cut(state.atom_id),
+            valid=cut(state.valid),
+            ref_positions=cut(state.ref_positions),
+            step=state.step,
+            overflow=state.overflow,
+            charges=None if state.charges is None else cut(state.charges),
+        ),
+        config._replace(capacity=new_capacity, spill_target=0),
+    )
 
 
 def cell_dense_init(

@@ -166,6 +166,45 @@ def test_rebin_shift_flags_fast_atom():
     assert bool(out.overflow)
 
 
+def test_squeeze_then_shrink_capacity():
+    """spill_target squeezing at wide capacity, then shrink_capacity to the
+    tight config, preserves the physics (trajectory matches all-pairs)."""
+    from emdee_tpu.neighbors.cell_dense import shrink_capacity
+
+    pos, L = cubic_lattice(1728, 0.75, jitter=0.12, seed=21)
+    n = pos.shape[0]
+    vel = maxwell_boltzmann(n, 1.0, seed=22)
+    params = lennard_jones_atom(np.ones(n), np.ones(n))
+    tight = suggest_cell_dense_config(n, L, cutoff=2.5, switch=2.0, skin=0.3, spill=True)
+    squeeze_cfg = tight._replace(
+        capacity=tight.capacity + 16, spill_target=tight.capacity
+    )
+    model = LennardJonesModel.create(2.5, 2.0)
+    st = cell_dense_init(pos, vel, np.ones(n), params, squeeze_cfg)
+    assert not bool(st.overflow)
+    rollout_w, _ = make_cell_dense_sim(squeeze_cfg, model, dt=0.002)
+    st = rollout_w(st, num_steps=40, rebin_every=4)
+    assert not bool(st.overflow)
+    st, config = shrink_capacity(st, squeeze_cfg, tight.capacity)
+    assert config.capacity == tight.capacity and int(st.valid.sum()) == n
+
+    rollout_t, _ = make_cell_dense_sim(config, model, dt=0.002)
+    st = rollout_t(st, num_steps=30, rebin_every=5)
+    assert not bool(st.overflow)
+    assert int(st.valid.sum()) == n
+
+    # Same 70 steps on the all-pairs reference.
+    nb = make_force_fn(
+        NonbondedConfig(cutoff=2.5, switch=2.0, method="allpairs"), params, L, n
+    )
+    state = make_state(pos, vel, box=L)
+    ref, _, _ = nve_rollout(state, (), nb.force_fn, 0.002, 70)
+    pos_d, vel_d = gather_dense_atoms(st, n)
+    Lf = float(L)
+    np.testing.assert_allclose(pos_d % Lf, np.asarray(ref.positions) % Lf, atol=5e-4)
+    np.testing.assert_allclose(vel_d, np.asarray(ref.velocities), atol=5e-4)
+
+
 def test_spill_rollout_matches_allpairs():
     """Boundary-spill balancing (tight capacity) preserves the physics."""
     pos, L = cubic_lattice(1728, 0.75, jitter=0.12, seed=9)
