@@ -1,5 +1,12 @@
 """Spatial domain decomposition over a 1D device mesh (slabs along z).
 
+Atom-table formulation: each shard's force pass evaluates its owned rows
+against ALL owned+ghost columns — O(N_shard²), fine for the small/medium
+systems and correctness tests it serves.  The PRODUCTION multi-chip path is
+`distributed.grid_sharded` (3D cell-grid decomposition, per-shard Pallas
+half-shell kernel, O(N)); this module remains as the simplest-possible
+sharded reference implementation and the ghost/ownership semantics testbed.
+
 The multi-chip scale-out the reference never had (SURVEY.md §2b): atoms are
 sharded into z-slabs, one per device.  Each step, every device
 
