@@ -72,7 +72,7 @@ class NonbondedConfig:
             raise ValueError(
                 "the Pallas production path is the dense-cell engine — use "
                 "emdee_tpu.neighbors.cell_dense.make_cell_dense_sim(backend="
-                "'pallas') or emdee_tpu.utils.runner.Simulation"
+                "'pallas') or cell_dense_molecular.dense_sim_from_system"
             )
         if self.method not in ("auto", "allpairs", "neighbor_list"):
             raise ValueError(f"unknown nonbonded method {self.method!r}")
