@@ -104,6 +104,11 @@ def _flat_leaves(state: CellDenseState, config: CellDenseConfig) -> CellDenseSta
 
 def distribute_grid(state: CellDenseState, config: CellDenseConfig, mesh: Mesh):
     """Single-chip CellDenseState → grid-layout state sharded over the mesh."""
+    if state.charges is not None:
+        raise NotImplementedError(
+            "the grid-sharded engine is LJ-only so far — charges would not "
+            "ride its rebins; use the single-chip molecular engine"
+        )
     g = _grid_leaves(state, config)
     shard = NamedSharding(mesh, P(*AXES))
     rep = NamedSharding(mesh, P())

@@ -33,6 +33,44 @@ def test_langevin_thermostats_to_target():
     assert abs(temps[5:].mean() - 1.0) < 0.12, temps
 
 
+def test_bussi_thermostats_to_target():
+    """CSVR: start cold (T=0.2), thermostat at T*=1.0 → mean T near 1.0,
+    and the rescale is global (velocity directions preserved per step)."""
+    from emdee_tpu.dynamics.bussi import csvr_rollout
+
+    n = 343
+    pos, L = cubic_lattice(n, 0.6, jitter=0.05, seed=9)
+    state = make_state(pos, maxwell_boltzmann(n, 0.2, seed=10), box=L)
+    state = state._replace(rng=jax.random.PRNGKey(3))
+    nb = make_force_fn(
+        NonbondedConfig(cutoff=2.5, switch=2.0, method="allpairs"),
+        lennard_jones_atom(np.ones(n), np.ones(n)), L, n,
+    )
+    temps = []
+    for _ in range(8):
+        state, _ = csvr_rollout(
+            state, (), nb.force_fn, dt=0.004, tau=0.2, temperature=1.0,
+            num_steps=200,
+        )
+        temps.append(float(temperature(state)))
+    assert abs(np.mean(temps[2:]) - 1.0) < 0.12, temps
+
+
+def test_bussi_requires_rng():
+    from emdee_tpu.dynamics.bussi import bussi_step
+
+    n = 27
+    pos, L = cubic_lattice(n, 0.3, seed=1)
+    state = make_state(pos, box=L)  # rng=None
+    nb = make_force_fn(
+        NonbondedConfig(cutoff=2.0, switch=1.5, method="allpairs"),
+        lennard_jones_atom(np.ones(n), np.ones(n)), L, n,
+    )
+    f, _ = nb.force_fn(state.positions, state.box, ())
+    with pytest.raises(ValueError, match="rng"):
+        bussi_step(state, f, (), nb.force_fn, 0.002, 0.5, 1.0)
+
+
 def test_langevin_requires_rng():
     n = 27
     pos, L = cubic_lattice(n, 0.3, seed=1)
