@@ -727,6 +727,7 @@ def cell_dense_forces(
     model: LennardJonesModel,
     config: CellDenseConfig,
     coulomb=None,
+    excl=None,
     *,
     compute_energy: bool = False,
 ):
@@ -739,6 +740,11 @@ def cell_dense_forces(
     With `coulomb` (a DSFCoulomb model) and state.charges set, DSF
     electrostatics ride the same tiles — the typed/charged-System bridge the
     reference never connected (modelling.jl:323-349 vs its compute layer).
+
+    excl: optional slot-space exclusion tags (ids, mlj, mcs): ids (M³, C, E)
+    f32 partner ATOM ids (−1 pad), mlj/mcs (M³, C, E) the 1−scale weights.
+    Each pair compares the neighbor's atom id against the center's E tags —
+    exclusions without masks, gathers or a correction pass.
     """
     m, c = config.cells_per_dim, config.capacity
     box = jnp.float32(config.box)
@@ -751,13 +757,34 @@ def cell_dense_forces(
     nc = m**3
     if coulomb is not None and state.charges is None:
         raise ValueError("coulomb model given but state has no charges")
+    aid_f = None
+    if excl is not None:
+        # Neighbor-side atom ids as exact-in-f32 integers; invalid → −2
+        # (never matches the −1 pad or any real id).
+        aid_f = jnp.where(valid, state.atom_id, -2).astype(jnp.float32)
 
-    def pair_terms(r2s, ok, hs_i, tse_i, hs_j, tse_j, q_i=None, q_j=None):
+    def pair_terms(r2s, ok, hs_i, tse_i, hs_j, tse_j, q_i=None, q_j=None, aid_j=None):
         e, mrE = pair_interaction(r2s, model, hs_i, tse_i, hs_j, tse_j)
+        csc = None
+        if excl is not None:
+            ids_e, mlj_e, mcs_e = excl  # (M³, C, E) each
+            match = ids_e[:, :, None, :] == aid_j[:, None, :, None]
+            ljsc = 1.0 - jnp.sum(
+                jnp.where(match, mlj_e[:, :, None, :], 0.0), axis=-1
+            )
+            e = e * ljsc
+            mrE = mrE * ljsc
+            if q is not None:
+                csc = 1.0 - jnp.sum(
+                    jnp.where(match, mcs_e[:, :, None, :], 0.0), axis=-1
+                )
         if q is not None:
             from emdee_tpu.potentials.coulomb import coulomb_interaction
 
             e_c, mre_c = coulomb_interaction(r2s, coulomb, q_i, q_j)
+            if csc is not None:
+                e_c = e_c * csc
+                mre_c = mre_c * csc
             e = e + e_c
             mrE = mrE + mre_c
         return jnp.where(ok, e, 0.0), jnp.where(ok, mrE, 0.0)
@@ -776,6 +803,7 @@ def cell_dense_forces(
         r2s, ok, hs[:, :, None], tse[:, :, None], hs[:, None, :], tse[:, None, :],
         q[:, :, None] if q is not None else None,
         q[:, None, :] if q is not None else None,
+        aid_f,
     )
     forces = forces + jnp.sum((mrE / r2s)[..., None] * dv, axis=2)
     if compute_energy:
@@ -804,6 +832,11 @@ def cell_dense_forces(
             ],
             axis=1,
         )
+        nbr_aid = (
+            jnp.concatenate([_roll_cells(aid_f, o, m) for o in offs], axis=1)
+            if aid_f is not None
+            else None
+        )
 
         dv = box * minimum_image(scaled[:, :, None, :] - nbr_scaled[:, None, :, :])
         r2 = jnp.sum(dv * dv, axis=-1)  # (M³, C, G·C)
@@ -813,6 +846,7 @@ def cell_dense_forces(
             r2s, ok, hs[:, :, None], tse[:, :, None], nbr_hs[:, None, :], nbr_tse[:, None, :],
             q[:, :, None] if q is not None else None,
             nbr_q[:, None, :] if q is not None else None,
+            nbr_aid,
         )
         # Materialize only the per-pair scalar g = (−r·E′)/r² and let each
         # reduction re-derive g·dv — keeping the (…, G·C, 3) force-vector
@@ -879,6 +913,7 @@ def make_cell_dense_sim(
     extra_forces=None,
     extra_energy=None,
     uniform_mass: Optional[float] = None,
+    aux_fn=None,
 ):
     """Build (rollout, energy) closures for slot-space NVE.
 
@@ -900,6 +935,10 @@ def make_cell_dense_sim(
     extra_forces(state) → (M³, C, 3) / extra_energy(state) → (pe, vir):
     additive slot-space hooks for molecular terms (exclusion corrections,
     bonded forces) — see cell_dense_molecular.make_molecular_dense_sim.
+
+    aux_fn(state) → slot-space exclusion tags (ids, mlj, mcs), rebuilt after
+    every rebin (binning is fixed between rebins, so one gather per rebin,
+    amortized) and fed to the pair pass — kernel-resident exclusions.
     """
     if rebin == "shift":
         rebin_fn = partial(
@@ -930,7 +969,9 @@ def make_cell_dense_sim(
         if backend == "pallas_streaming":
             if coulomb is not None:
                 raise ValueError("the streaming Pallas kernel is LJ-only")
-            def forces_of_pairs(state):
+            if aux_fn is not None:
+                raise ValueError("the streaming Pallas kernel has no exclusion tags")
+            def forces_of_pairs(state, aux=None):
                 return pallas_cell_forces_streaming(state, model, config)[0]
         else:
             cc = None
@@ -939,34 +980,39 @@ def make_cell_dense_sim(
 
                 cc = coulomb_consts(coulomb)
 
-            def forces_of_pairs(state):
+            def forces_of_pairs(state, aux=None):
                 return pallas_cell_forces(
                     state, model, config, interpret=interp,
-                    uniform_params=uniform_params, coulomb=cc,
+                    uniform_params=uniform_params, coulomb=cc, excl=aux,
                 )[0]
 
-        def energy_forces(state):
+        def energy_forces(state, aux=None):
             # Observables are off the hot path, and the kernel's energy
             # variant needs 4 extra VMEM outputs (OOMs at large capacity) —
             # use the portable XLA path for them.
-            return cell_dense_forces(state, model, config, coulomb, compute_energy=True)
+            return cell_dense_forces(
+                state, model, config, coulomb, aux, compute_energy=True
+            )
     else:
 
-        def forces_of_pairs(state):
-            return cell_dense_forces(state, model, config, coulomb)[0]
+        def forces_of_pairs(state, aux=None):
+            return cell_dense_forces(state, model, config, coulomb, aux)[0]
 
-        def energy_forces(state):
-            return cell_dense_forces(state, model, config, coulomb, compute_energy=True)
+        def energy_forces(state, aux=None):
+            return cell_dense_forces(
+                state, model, config, coulomb, aux, compute_energy=True
+            )
 
     if extra_forces is None:
-        forces_of = forces_of_pairs
+        def forces_of(state, aux=None):
+            return forces_of_pairs(state, aux)
     else:
 
-        def forces_of(state):
-            return forces_of_pairs(state) + extra_forces(state)
+        def forces_of(state, aux=None):
+            return forces_of_pairs(state, aux) + extra_forces(state)
 
     def energy_of(st: CellDenseState):
-        _, e, w = energy_forces(st)
+        _, e, w = energy_forces(st, aux_fn(st) if aux_fn is not None else None)
         pe = jnp.sum(jnp.where(st.valid, e, 0.0))
         vir = jnp.sum(jnp.where(st.valid, w, 0.0))
         if extra_energy is not None:
@@ -982,23 +1028,27 @@ def make_cell_dense_sim(
         )
         return pe, vir, ke
 
-    def one_step(carry, _):
-        # NO PBC wrap here: the Pallas kernel computes raw (ghost-shifted)
-        # differences, so a mid-block wrap would teleport a boundary-crossing
-        # atom by ±L and silently sever its pair interactions until the next
-        # rebin (measured as steady NVE heating ∝ rebin_every).  Positions
-        # drift at most skin/2 past the box faces between rebins — exactly
-        # what the ghost cells cover — and are wrapped at rebin time.
-        state, forces = carry
-        inv_m = state.inv_masses[..., None]
-        v_half = state.velocities + (0.5 * dt_f) * forces * inv_m
-        new_pos = state.positions + dt_f * v_half
-        new_pos = jnp.where(state.valid[..., None], new_pos, state.positions)
-        state = state._replace(positions=new_pos, velocities=v_half)
-        new_forces = forces_of(state)
-        new_vel = state.velocities + (0.5 * dt_f) * new_forces * state.inv_masses[..., None]
-        state = state._replace(velocities=new_vel, step=state.step + 1)
-        return (state, new_forces), None
+    def make_one_step(aux):
+        def one_step(carry, _):
+            # NO PBC wrap here: the Pallas kernel computes raw (ghost-shifted)
+            # differences, so a mid-block wrap would teleport a boundary-
+            # crossing atom by ±L and silently sever its pair interactions
+            # until the next rebin (measured as steady NVE heating ∝
+            # rebin_every).  Positions drift at most skin/2 past the box
+            # faces between rebins — exactly what the ghost cells cover —
+            # and are wrapped at rebin time.
+            state, forces = carry
+            inv_m = state.inv_masses[..., None]
+            v_half = state.velocities + (0.5 * dt_f) * forces * inv_m
+            new_pos = state.positions + dt_f * v_half
+            new_pos = jnp.where(state.valid[..., None], new_pos, state.positions)
+            state = state._replace(positions=new_pos, velocities=v_half)
+            new_forces = forces_of(state, aux)
+            new_vel = state.velocities + (0.5 * dt_f) * new_forces * state.inv_masses[..., None]
+            state = state._replace(velocities=new_vel, step=state.step + 1)
+            return (state, new_forces), None
+
+        return one_step
 
     @partial(jax.jit, static_argnames=("num_steps", "rebin_every", "record"))
     def rollout(
@@ -1027,27 +1077,32 @@ def make_cell_dense_sim(
             pe, vir, ke = energy_of(st)
             return (st.step, pe, vir, ke)
 
-        def block(carry, _):
-            st, f = carry
-            # The permutation carries the current forces along, so no extra
-            # force evaluation is needed after a rebin.
-            st, f = rebin_fn(st, config, forces=f)
-            (st, f), _ = jax.lax.scan(one_step, (st, f), None, length=rebin_every)
-            # Staleness check: the block's steps ran on the bins made at the
-            # block start; flag if the skin/2 displacement bound was violated.
-            st = st._replace(overflow=st.overflow | _needs_rebin(st, config))
-            return (st, f), (observables(st) if record else None)
+        def block_of(length):
+            def block(carry, _):
+                st, f = carry
+                # The permutation carries the current forces along, so no
+                # extra force evaluation is needed after a rebin.
+                st, f = rebin_fn(st, config, forces=f)
+                aux = aux_fn(st) if aux_fn is not None else None
+                (st, f), _ = jax.lax.scan(
+                    make_one_step(aux), (st, f), None, length=length
+                )
+                # Staleness check: the block's steps ran on the bins made at
+                # the block start; flag if skin/2 displacement was violated.
+                st = st._replace(overflow=st.overflow | _needs_rebin(st, config))
+                return (st, f), (observables(st) if record else None)
 
-        f0 = forces_of(state)
+            return block
+
+        f0 = forces_of(state, aux_fn(state) if aux_fn is not None else None)
         carry = (state, f0)
         records = None
         if blocks:
-            carry, records = jax.lax.scan(block, carry, None, length=blocks)
+            carry, records = jax.lax.scan(
+                block_of(rebin_every), carry, None, length=blocks
+            )
         if rem:
-            st, f = rebin_fn(carry[0], config, forces=carry[1])
-            (st, f), _ = jax.lax.scan(one_step, (st, f), None, length=rem)
-            st = st._replace(overflow=st.overflow | _needs_rebin(st, config))
-            carry = (st, f)
+            carry, _ = block_of(rem)(carry, None)
         if record:
             return carry[0], records
         return carry[0]

@@ -48,6 +48,66 @@ from emdee_tpu.neighbors.neighbor_force import apply_exclusion_corrections
 from emdee_tpu.potentials.lennard_jones import LennardJonesModel
 
 
+def build_exclusion_tables(num_atoms, pairs, lj_scales, coulomb_scales=None, pad_e=None):
+    """(N+1, E) atom-indexed exclusion tag tables (host-side, numpy).
+
+    Row i lists atom i's exclusion partners as f32 ids (−1 pad) with the
+    1−scale weights the kernel subtracts per matching pair.  Row N is the
+    all-pad row indexed by invalid slots.  E = max partners per atom
+    (`pad_e` to force a wider static width).
+    """
+    pairs = np.asarray(pairs)
+    lj_scales = np.asarray(lj_scales, np.float32)
+    cs = None if coulomb_scales is None else np.asarray(coulomb_scales, np.float32)
+    n = num_atoms
+    partners = [[] for _ in range(n)]
+    for k in range(len(pairs)):
+        i, j = int(pairs[k, 0]), int(pairs[k, 1])
+        if i >= n or j >= n:
+            continue  # padding rows
+        partners[i].append((j, lj_scales[k], None if cs is None else cs[k]))
+        partners[j].append((i, lj_scales[k], None if cs is None else cs[k]))
+    e_n = max((len(p) for p in partners), default=0)
+    e_n = max(e_n, 1)
+    if pad_e is not None:
+        if pad_e < e_n:
+            raise ValueError(f"pad_e {pad_e} < max partners per atom {e_n}")
+        e_n = pad_e
+    ids = np.full((n + 1, e_n), -1.0, np.float32)
+    mlj = np.zeros((n + 1, e_n), np.float32)
+    mcs = np.zeros((n + 1, e_n), np.float32) if cs is not None else None
+    for i, plist in enumerate(partners):
+        for e, (j, s_lj, s_c) in enumerate(plist):
+            ids[i, e] = float(j)
+            mlj[i, e] = 1.0 - s_lj
+            if mcs is not None:
+                mcs[i, e] = 1.0 - s_c
+    return (
+        jnp.asarray(ids),
+        jnp.asarray(mlj),
+        None if mcs is None else jnp.asarray(mcs),
+    )
+
+
+def make_exclusion_aux_fn(num_atoms, ids_tab, mlj_tab, mcs_tab):
+    """aux_fn(state) → slot-space (ids, mlj, mcs) tags.
+
+    One (M³·C)-row gather from the static atom-indexed tables, re-run after
+    every rebin (slot↔atom binding only changes there) — amortized over the
+    rebin interval instead of a per-step atom-space round trip.
+    """
+
+    def aux_fn(state: CellDenseState):
+        idx = jnp.minimum(state.atom_id, num_atoms)  # sentinel → pad row
+        return (
+            ids_tab[idx],
+            mlj_tab[idx],
+            None if mcs_tab is None else mcs_tab[idx],
+        )
+
+    return aux_fn
+
+
 def slots_to_atoms(state: CellDenseState, num_atoms: int):
     """Scatter slot-layout per-atom vectors into (N, …) atom order (device).
 
@@ -76,16 +136,28 @@ def make_molecular_dense_sim(
     bonded=None,  # BondedSystem, or None
     backend: str = "auto",
     rebin: str = "shift",
+    exclusion_mode: str = "kernel",
 ):
     """(rollout, energy) closures for a molecular system in slot space.
 
     Same contract as `make_cell_dense_sim` — this wraps it with the
-    atom-space correction hooks.  The state must be built by
+    molecular hooks.  The state must be built by
     `cell_dense_init(..., charges=...)` when `coulomb` is given.
 
-    Note: the reported virial covers pair terms and exclusion corrections;
-    bonded terms contribute energy and forces but not (yet) virial.
+    exclusion_mode:
+      'kernel'     — exclusions as per-pair tag comparisons inside the pair
+                     pass (~3E VPU ops/pair; slot tags rebuilt once per
+                     rebin).  The fast path: no per-step atom-space round
+                     trip (measured 4.4 ms/step at 100k atoms).
+      'correction' — atom-space correction pass after the pair pass
+                     (scatter → `apply_exclusion_corrections` → gather);
+                     the portable reference implementation.
+
+    Note: the reported virial covers pair terms and exclusion terms; bonded
+    terms contribute energy and forces but not (yet) virial.
     """
+    if exclusion_mode not in ("kernel", "correction"):
+        raise ValueError(f"unknown exclusion_mode {exclusion_mode!r}")
     box = jnp.float32(config.box)
     has_excl = exclusion_pairs is not None and exclusion_pairs.shape[0] > 0
     if has_excl and exclusion_scales is None:
@@ -94,6 +166,35 @@ def make_molecular_dense_sim(
         raise ValueError("exclusion corrections need atom-ordered LJ params")
     q_at = jnp.asarray(charges, jnp.float32) if charges is not None else None
     bonded_force = bonded.force_fn() if bonded is not None else None
+
+    if has_excl and exclusion_mode == "kernel":
+        tabs = build_exclusion_tables(
+            num_atoms, exclusion_pairs, exclusion_scales,
+            exclusion_scales_coulomb if coulomb is not None else None,
+        )
+        aux_fn = make_exclusion_aux_fn(num_atoms, *tabs)
+
+        extra_forces = None
+        if bonded is not None:
+
+            def extra_forces(state):
+                pos_at, ids = slots_to_atoms(state, num_atoms)
+                f_at = bonded_force(pos_at, box)
+                f_ext = jnp.concatenate([f_at, jnp.zeros((1, 3), f_at.dtype)], axis=0)
+                return f_ext[ids].reshape(state.positions.shape)
+
+        extra_energy = None
+        if bonded is not None:
+
+            def extra_energy(state):
+                pos_at, _ = slots_to_atoms(state, num_atoms)
+                zero = jnp.float32(0.0)
+                return bonded.energy(pos_at, box), zero
+
+        return make_cell_dense_sim(
+            config, model, dt, backend=backend, rebin=rebin, coulomb=coulomb,
+            extra_forces=extra_forces, extra_energy=extra_energy, aux_fn=aux_fn,
+        )
 
     def corrections_at(pos_at, outputs):
         out = NonbondedOutput(
@@ -154,6 +255,7 @@ def dense_sim_from_system(
     backend: str = "auto",
     spill: bool = False,
     velocities=None,
+    exclusion_mode: str = "kernel",
 ):
     """One-call System → dense-engine simulation.
 
@@ -200,5 +302,6 @@ def dense_sim_from_system(
         exclusion_scales_coulomb=jnp.asarray(c_s, jnp.float32),
         bonded=bonded,
         backend=backend,
+        exclusion_mode=exclusion_mode,
     )
     return state, rollout, energy, config

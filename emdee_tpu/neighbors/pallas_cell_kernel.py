@@ -118,11 +118,15 @@ def _prep_inputs(
     config: CellDenseConfig,
     uniform: bool = False,
     kc: float = 0.0,
+    excl=None,
 ):
     """XLA-side data prep: ghost rows + transposed center arrays.
 
     kc > 0 adds a charge field pre-scaled by √kc (so the kernel's qᵢ'·qⱼ'
-    product is already kc·qᵢ·qⱼ — one fewer multiply per pair)."""
+    product is already kc·qᵢ·qⱼ — one fewer multiply per pair).
+
+    excl = (ids, mlj, mcs): slot-space exclusion tags — adds the neighbor
+    atom-id ghost field and 2-3·E center rows (ids exact in f32)."""
     m, c = config.cells_per_dim, config.capacity
     g = m + 2
     pos = _sentinel_positions(state, config)
@@ -151,6 +155,15 @@ def _prep_inputs(
         qs = jnp.sqrt(jnp.float32(kc)) * state.charges
         ghosts.append(_ghost(grid(qs), m).reshape(g * g, g * c))
         cen_fields.append(center(qs))
+    if excl is not None:
+        ids, mlj, mcs = excl
+        aid_f = jnp.where(state.valid, state.atom_id, -2).astype(jnp.float32)
+        ghosts.append(_ghost(grid(aid_f), m).reshape(g * g, g * c))
+        e_n = ids.shape[-1]
+        cen_fields += [center(ids[..., e]) for e in range(e_n)]
+        cen_fields += [center(mlj[..., e]) for e in range(e_n)]
+        if mcs is not None:
+            cen_fields += [center(mcs[..., e]) for e in range(e_n)]
     centers = jnp.concatenate(cen_fields, axis=1)  # (M², n·C, M)
     return tuple(ghosts) + (centers,) + _const_tiles(m, c)
 
@@ -191,6 +204,8 @@ def _make_kernel(
     uniform_params=None,
     coulomb=None,
     dims=None,
+    excl_e: int = 0,
+    excl_cs: bool = False,
 ):
     """dims=(mz, my, mx): interior cell-grid shape this kernel instance runs
     over — cubic (M, M, M) on one chip, a shard's local block under
@@ -216,15 +231,22 @@ def _make_kernel(
         cl_gauss = _TWO_OVER_SQRT_PI * cl_alpha
 
     def kernel(*refs):
-        # Input order: coords [+ params] [+ charges] + centers + const tiles.
-        n_ghost = 3 + (0 if uniform else 2) + (0 if coulomb is None else 1)
+        # Input order: coords [+ params] [+ charges] [+ atom ids] + centers
+        # + const tiles.
+        n_ghost = (
+            3 + (0 if uniform else 2) + (0 if coulomb is None else 1)
+            + (1 if excl_e else 0)
+        )
         ghosts = refs[:n_ghost]
         centers, is_self, expand, seg_bf16 = refs[n_ghost : n_ghost + 4]
         outs = refs[n_ghost + 4 :]
         gx, gy, gz = ghosts[:3]
         if not uniform:
             ghs, gtse = ghosts[3:5]
-        gq = ghosts[-1] if coulomb is not None else None
+        gaid = ghosts[-1] if excl_e else None
+        gq = None
+        if coulomb is not None:
+            gq = ghosts[-2] if excl_e else ghosts[-1]
         (fx, fy, fz, react) = outs[:4]
         if compute_energy:
             (e_out, w_out, er_out, wr_out) = outs[4:]
@@ -275,6 +297,17 @@ def _make_kernel(
             nxt += 2 * c
         if coulomb is not None:
             cenq = cen_all[nxt : nxt + c]
+            nxt += c
+        if excl_e:
+            cen_eids = [cen_all[nxt + e * c : nxt + (e + 1) * c] for e in range(excl_e)]
+            nxt += excl_e * c
+            cen_mlj = [cen_all[nxt + e * c : nxt + (e + 1) * c] for e in range(excl_e)]
+            nxt += excl_e * c
+            if excl_cs:
+                cen_mcs = [
+                    cen_all[nxt + e * c : nxt + (e + 1) * c] for e in range(excl_e)
+                ]
+                nxt += excl_e * c
 
         def pair_pass(dz, dy, dx, self_pass, acc):
             fx_a, fy_a, fz_a, e_a, w_a = acc
@@ -308,6 +341,22 @@ def _make_kernel(
                 t6 = (centse * ntse) * s6
             if self_pass:
                 t6 = t6 * (1.0 - is_self[...])
+            csc = None
+            if excl_e:
+                # Kernel-resident exclusions: compare the neighbor's atom id
+                # against the center's E tag ids (exact integers in f32) and
+                # scale the pair terms — no masks, no gathers, no correction
+                # pass (~3E VPU ops/pair instead of a 4+ ms atom-space round
+                # trip at 100k atoms).
+                naid = gaid[pl.ds(row, 1), pl.ds(win, mc)]
+                ljsc = 1.0
+                csc = 1.0 if excl_cs else None
+                for e_i in range(excl_e):
+                    match = (cen_eids[e_i] == naid).astype(jnp.float32)
+                    ljsc = ljsc - match * cen_mlj[e_i]
+                    if excl_cs:
+                        csc = csc - match * cen_mcs[e_i]
+                t6 = t6 * ljsc
             t12 = t6 * s6  # 4ε·s⁻¹²
             x = jnp.clip((r2 - rs2) * invd2, 0.0, 1.0)
             x2 = x * x
@@ -329,6 +378,8 @@ def _make_kernel(
                 qq = cenq * nq
                 if self_pass:
                     qq = qq * (1.0 - is_self[...])
+                if excl_e and csc is not None:
+                    qq = qq * csc
                 rs_inv = jnp.sqrt(rinv)  # 1/r (rinv is full-accuracy 1/r²)
                 r = r2 * rs_inv
                 ex = jnp.exp(-cl_alpha2 * r2)
@@ -424,6 +475,7 @@ def pallas_cell_forces(
     interpret: bool = False,
     uniform_params=None,
     coulomb=None,
+    excl=None,
 ):
     """Drop-in replacement for `cell_dense_forces` (true-cutoff mode).
 
@@ -442,12 +494,15 @@ def pallas_cell_forces(
     uniform = uniform_params is not None
 
     inputs = _prep_inputs(
-        state, config, uniform=uniform, kc=0.0 if coulomb is None else coulomb[4]
+        state, config, uniform=uniform,
+        kc=0.0 if coulomb is None else coulomb[4], excl=excl,
     )
     outs = halfshell_call(
         inputs, config, (m, m, m),
         compute_energy=compute_energy, interpret=interpret,
         uniform_params=uniform_params, coulomb=coulomb,
+        excl_e=0 if excl is None else excl[0].shape[-1],
+        excl_cs=excl is not None and excl[2] is not None,
     )
 
     def uncenter(a):  # (M², C, M) → (M³, C)
@@ -478,6 +533,8 @@ def halfshell_call(
     interpret: bool = False,
     uniform_params=None,
     coulomb=None,
+    excl_e: int = 0,
+    excl_cs: bool = False,
 ):
     """Raw half-shell pallas_call over a pre-built ghost grid — no folding.
 
@@ -500,13 +557,17 @@ def halfshell_call(
     kernel = _make_kernel(
         config, (rs2, invd2), compute_energy, interpret,
         uniform_params=uniform_params, coulomb=coulomb, dims=dims,
+        excl_e=excl_e, excl_cs=excl_cs,
     )
 
     # Pallas TPU blocks must have their last dims 128-divisible or full —
     # every operand is therefore a full-array VMEM block (they all fit;
     # that's the point of this kernel) and pencils are sliced in-kernel.
-    n_ghost = 3 + (0 if uniform else 2) + (0 if coulomb is None else 1)
-    n_cen = n_ghost
+    n_ghost = (
+        3 + (0 if uniform else 2) + (0 if coulomb is None else 1)
+        + (1 if excl_e else 0)
+    )
+    n_cen = n_ghost - (1 if excl_e else 0) + excl_e * (3 if excl_cs else 2)
     ghost_spec = pl.BlockSpec((gz * gy, gx * c), lambda i: (0, 0), memory_space=pltpu.VMEM)
     center_spec = pl.BlockSpec(
         (1, n_cen * c, mx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
