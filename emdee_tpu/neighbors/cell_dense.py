@@ -953,7 +953,12 @@ def make_cell_dense_sim(
         # Only TPU-like backends can lower the Mosaic kernel ('axon' is the
         # remote-TPU tunnel); GPU and CPU fall back to the portable XLA path.
         backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
-        if backend == "pallas" and estimate_kernel_vmem_bytes(config) > 13_000_000:
+        est = estimate_kernel_vmem_bytes(config)
+        if coulomb is not None:
+            est = est * 7 // 5  # + charge ghost/center fields
+        if aux_fn is not None:
+            est = est * 6 // 5  # + atom-id ghost and exclusion tag rows
+        if backend == "pallas" and est > 13_000_000:
             # The whole-problem-in-VMEM kernel tops out around ~150k atoms;
             # beyond that the HBM-streaming kernel variant takes over.
             backend = "pallas_streaming"
