@@ -55,6 +55,7 @@ from emdee_tpu.neighbors.cell_dense_molecular import (
 from emdee_tpu.dynamics.verlet import velocity_verlet_step, nve_rollout
 from emdee_tpu.dynamics.langevin import nvt_rollout
 from emdee_tpu.dynamics.bussi import csvr_rollout
+from emdee_tpu.dynamics.npt import npt_rollout
 
 __version__ = "0.1.0"
 
@@ -102,4 +103,5 @@ __all__ = [
     "nve_rollout",
     "nvt_rollout",
     "csvr_rollout",
+    "npt_rollout",
 ]

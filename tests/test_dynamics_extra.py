@@ -107,3 +107,48 @@ def test_throughput_meter():
     stats = meter.update(10)
     assert stats["steps"] == 10
     assert stats["atom_steps_per_s"] > 0
+
+
+def test_berendsen_npt_relaxes_pressure():
+    """NPT: start compressed at high pressure, couple to P*=1.0 → the box
+    expands and the mean pressure approaches the target."""
+    from functools import partial
+
+    from emdee_tpu.dynamics.bussi import bussi_step
+    from emdee_tpu.dynamics.npt import instantaneous_pressure, npt_rollout
+    from emdee_tpu.neighbors.allpairs import compute_nonbonded_allpairs
+    from emdee_tpu.core.types import FORCES, VIRIALS
+    from emdee_tpu.potentials.lennard_jones import LennardJonesModel
+
+    n = 343
+    pos, L = cubic_lattice(n, 0.9, jitter=0.05, seed=12)  # compressed liquid
+    state = make_state(pos, maxwell_boltzmann(n, 1.0, seed=13), box=L)
+    state = state._replace(rng=jax.random.PRNGKey(5))
+    model = LennardJonesModel.create(2.5, 2.0)
+    params = lennard_jones_atom(np.ones(n), np.ones(n))
+
+    def force_fn(p, box_, aux):
+        out = compute_nonbonded_allpairs(
+            p, box_, model, params, None, None, None, outputs=FORCES
+        )
+        return out.forces, aux
+
+    def virial_fn(p, box_, aux):
+        out = compute_nonbonded_allpairs(
+            p, box_, model, params, None, None, None, outputs=VIRIALS
+        )
+        return jnp.sum(out.virials)
+
+    thermo = lambda st, f, ax, ffn, dt_: bussi_step(st, f, ax, ffn, dt_, 0.2, 1.0)
+
+    p0 = float(instantaneous_pressure(state, virial_fn(state.positions, state.box, ())))
+    out, _, boxes = npt_rollout(
+        state, (), force_fn, virial_fn, dt=0.004, tau_p=0.5, pressure=1.0,
+        num_steps=1500, kappa=0.3, thermostat_step=thermo,
+    )
+    p1 = float(instantaneous_pressure(out, virial_fn(out.positions, out.box, ())))
+    # Compressed start is far above P*=1; coupling must bring it close.
+    assert p0 > 3.0, p0
+    assert abs(p1 - 1.0) < 1.5, (p0, p1)
+    assert float(out.box) > float(state.box)  # the box expanded
+    assert np.isfinite(np.asarray(boxes)).all()
