@@ -104,11 +104,6 @@ def _flat_leaves(state: CellDenseState, config: CellDenseConfig) -> CellDenseSta
 
 def distribute_grid(state: CellDenseState, config: CellDenseConfig, mesh: Mesh):
     """Single-chip CellDenseState → grid-layout state sharded over the mesh."""
-    if state.charges is not None:
-        raise NotImplementedError(
-            "the grid-sharded engine is LJ-only so far — charges would not "
-            "ride its rebins; use the single-chip molecular engine"
-        )
     g = _grid_leaves(state, config)
     shard = NamedSharding(mesh, P(*AXES))
     rep = NamedSharding(mesh, P())
@@ -132,12 +127,21 @@ def make_grid_sharded_sim(
     mesh: Mesh,
     backend: str = "auto",
     uniform_params=None,
+    coulomb=None,
+    excl_tables=None,
 ):
     """(rollout, energy) closures; state is grid-layout, mesh-sharded.
 
     backend: 'pallas' (TPU kernel per shard), 'pallas_interpret' (kernel in
     interpreter mode — CPU-mesh tests of the REAL communication pattern),
     'xla' (portable half-shell via static slices of the ghost grid), 'auto'.
+
+    coulomb: optional DSFCoulomb model (state.charges must be set) — DSF
+    electrostatics ride every pair evaluation, sharded like LJ.
+    excl_tables: optional (ids, mlj, mcs) atom-indexed exclusion tables
+    (cell_dense_molecular.build_exclusion_tables, replicated on every
+    shard); slot tags are rebuilt per shard after each rebin and compared
+    in-pass — the multi-chip version of the kernel-resident exclusions.
     """
     mz, my, mx = validate_grid_config(config, mesh)
     sizes = tuple(mesh.shape[ax] for ax in AXES)
@@ -148,6 +152,16 @@ def make_grid_sharded_sim(
     if backend == "auto":
         backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
     uniform = uniform_params is not None
+    has_q = coulomb is not None
+    has_excl = excl_tables is not None
+    cc = None
+    if has_q:
+        from emdee_tpu.potentials.coulomb import coulomb_consts
+
+        cc = coulomb_consts(coulomb)
+    excl_e = 0 if not has_excl else int(excl_tables[0].shape[-1])
+    excl_cs = has_excl and excl_tables[2] is not None
+    n_tab = None if not has_excl else int(excl_tables[0].shape[0]) - 1
 
     spec = P(*AXES)
     rep = P()
@@ -231,7 +245,7 @@ def make_grid_sharded_sim(
         far = _FAR + 7.0 * _global_slot_ids(c)
         return jnp.where(valid[..., None], pos, far[..., None])
 
-    def _local_forces_pallas(pos, hs, tse, valid, interpret):
+    def _local_forces_pallas(pos, hs, tse, valid, q, aid_f, aux, interpret):
         from emdee_tpu.neighbors.pallas_cell_kernel import (
             _const_tiles,
             halfshell_call,
@@ -244,6 +258,11 @@ def make_grid_sharded_sim(
         ]
         if not uniform:
             fields += [(hs, None), (tse, None)]
+        if has_q:
+            qs = jnp.sqrt(jnp.float32(cc[4])) * q
+            fields.append((qs, None))
+        if has_excl:
+            fields.append((aid_f, None))
         ghosts = [
             _ghost3(f, coord_axis=ca).reshape(gz * gy, gx * c) for f, ca in fields
         ]
@@ -254,12 +273,21 @@ def make_grid_sharded_sim(
         cen = [center(pos[..., 0]), center(pos[..., 1]), center(pos[..., 2])]
         if not uniform:
             cen += [center(hs), center(tse)]
+        if has_q:
+            cen.append(center(qs))
+        if has_excl:
+            ids_s, mlj_s, mcs_s = aux
+            cen += [center(ids_s[..., e]) for e in range(excl_e)]
+            cen += [center(mlj_s[..., e]) for e in range(excl_e)]
+            if excl_cs:
+                cen += [center(mcs_s[..., e]) for e in range(excl_e)]
         centers = jnp.concatenate(cen, axis=1)
         inputs = tuple(ghosts) + (centers,) + _const_tiles(mx, c)
         outs = halfshell_call(
             inputs, config, (mz, my, mx),
             compute_energy=False, interpret=interpret,
-            uniform_params=uniform_params,
+            uniform_params=uniform_params, coulomb=cc,
+            excl_e=excl_e, excl_cs=excl_cs,
         )
         fx, fy, fz, react = outs[:4]
 
@@ -271,8 +299,10 @@ def make_grid_sharded_sim(
         rfold = jnp.stack([_fold3(react[k]) for k in range(3)], axis=-1)
         return forces + rfold
 
-    def _local_forces_xla(pos, hs, tse, valid, compute_energy):
+    def _local_forces_xla(pos, hs, tse, valid, q, aid_f, aux, compute_energy):
         """Portable half-shell on the ghost grid: static slices, same comm."""
+        from emdee_tpu.potentials.coulomb import coulomb_interaction
+
         # Coordinates need per-axis seam shifts; build per-component ghosts.
         gx_ = _ghost3(pos[..., 0], coord_axis=2)
         gy_ = _ghost3(pos[..., 1], coord_axis=1)
@@ -281,6 +311,32 @@ def make_grid_sharded_sim(
         ghs = _ghost3(hs)
         gtse = _ghost3(tse)
         gvalid = _ghost3(valid)
+        gq = _ghost3(q) if has_q else None
+        gaid = _ghost3(aid_f) if has_excl else None
+
+        def pair_terms(r2s, ok, hs_i, tse_i, hs_j, tse_j, q_i, q_j, aid_j):
+            e, mrE = pair_interaction(r2s, model, hs_i, tse_i, hs_j, tse_j)
+            csc = None
+            if has_excl:
+                ids_s, mlj_s, mcs_s = aux
+                match = ids_s[..., :, None, :] == aid_j[..., None, :, None]
+                ljsc = 1.0 - jnp.sum(
+                    jnp.where(match, mlj_s[..., :, None, :], 0.0), axis=-1
+                )
+                e = e * ljsc
+                mrE = mrE * ljsc
+                if has_q and excl_cs:
+                    csc = 1.0 - jnp.sum(
+                        jnp.where(match, mcs_s[..., :, None, :], 0.0), axis=-1
+                    )
+            if has_q:
+                e_c, mre_c = coulomb_interaction(r2s, coulomb, q_i, q_j)
+                if csc is not None:
+                    e_c = e_c * csc
+                    mre_c = mre_c * csc
+                e = e + e_c
+                mrE = mrE + mre_c
+            return e, mrE
 
         def block(g, dz, dy, dx):
             return jax.lax.slice(
@@ -310,8 +366,11 @@ def make_grid_sharded_sim(
         r2 = jnp.sum(dv * dv, axis=-1)
         ok = valid[..., :, None] & valid[..., None, :] & ~eye
         r2s = jnp.where(ok, r2, 1.0)
-        e, mrE = pair_interaction(
-            r2s, model, hs[..., :, None], tse[..., :, None], hs[..., None, :], tse[..., None, :]
+        e, mrE = pair_terms(
+            r2s, ok, hs[..., :, None], tse[..., :, None], hs[..., None, :], tse[..., None, :],
+            q[..., :, None] if has_q else None,
+            q[..., None, :] if has_q else None,
+            aid_f if has_excl else None,
         )
         g = jnp.where(ok, mrE / r2s, 0.0)
         forces = forces + jnp.sum(g[..., None] * dv, axis=-2)
@@ -328,10 +387,13 @@ def make_grid_sharded_sim(
             r2 = jnp.sum(dv * dv, axis=-1)
             ok = valid[..., :, None] & nvalid[..., None, :]
             r2s = jnp.where(ok, r2, 1.0)
-            e, mrE = pair_interaction(
-                r2s, model,
+            e, mrE = pair_terms(
+                r2s, ok,
                 hs[..., :, None], tse[..., :, None],
                 nhs[..., None, :], ntse[..., None, :],
+                q[..., :, None] if has_q else None,
+                block(gq, dz, dy, dx)[..., None, :] if has_q else None,
+                block(gaid, dz, dy, dx) if has_excl else None,
             )
             g = jnp.where(ok, mrE / r2s, 0.0)
             gdv = g[..., None] * dv
@@ -356,15 +418,32 @@ def make_grid_sharded_sim(
             return forces, energies, virials
         return forces
 
+    def _aid_of(aid, valid):
+        return jnp.where(valid, aid, -2).astype(jnp.float32)
+
+    def _aux_of(aid):
+        if not has_excl:
+            return None
+        idx = jnp.minimum(aid, n_tab)
+        ids_tab, mlj_tab, mcs_tab = excl_tables
+        return (
+            ids_tab[idx], mlj_tab[idx],
+            None if mcs_tab is None else mcs_tab[idx],
+        )
+
     if backend in ("pallas", "pallas_interpret"):
         interp = backend == "pallas_interpret"
 
-        def forces_of(pos, hs, tse, valid):
-            return _local_forces_pallas(pos, hs, tse, valid, interp)
+        def forces_of(pos, hs, tse, valid, q, aid, aux):
+            aid_f = _aid_of(aid, valid) if has_excl else None
+            return _local_forces_pallas(pos, hs, tse, valid, q, aid_f, aux, interp)
     else:
 
-        def forces_of(pos, hs, tse, valid):
-            return _local_forces_xla(pos, hs, tse, valid, compute_energy=False)
+        def forces_of(pos, hs, tse, valid, q, aid, aux):
+            aid_f = _aid_of(aid, valid) if has_excl else None
+            return _local_forces_xla(
+                pos, hs, tse, valid, q, aid_f, aux, compute_energy=False
+            )
 
     # ---- per-shard shift rebin ----
 
@@ -410,7 +489,7 @@ def make_grid_sharded_sim(
         grid = ar.reshape(shape) * jnp.ones((mz, my, mx), jnp.int32)
         return grid.reshape(mz * my * mx)
 
-    def _rebin_local(pos, vel, inv_m, hs, tse, aid, valid, overflow, forces):
+    def _rebin_local(pos, vel, inv_m, hs, tse, aid, valid, overflow, forces, q):
         """Per-shard shift rebin: three ±1 routing passes (z, y, x), each
         pass's cross-shard candidate layers delivered by one ppermute pair —
         atom migration between shards costs the same as a halo exchange."""
@@ -422,8 +501,14 @@ def make_grid_sharded_sim(
         fields = [posw[..., 0], posw[..., 1], posw[..., 2]]
         fields += [flat(vel)[..., i] for i in range(3)]
         fields += [flat(inv_m), flat(hs), flat(tse)]
+        q_col = None
+        if has_q:
+            q_col = len(fields)
+            fields.append(flat(q))
+        f_col = len(fields)
         fields += [flat(forces)[..., i] for i in range(3)]
         fields.append(flat(aid))
+        nf = len(fields)
         # Pass order z, y, x — matches the single-chip `_rebin_shift`, so
         # slot order (and with it f32 summation order) is identical.
         for axis in (0, 1, 2):
@@ -437,12 +522,15 @@ def make_grid_sharded_sim(
         new_pos = jnp.where(validf[..., None], new_pos, 0.0)
         zero = lambda a: jnp.where(validf, a, 0.0)
         new_vel = jnp.where(validf[..., None], jnp.stack(fields[3:6], axis=-1), 0.0)
-        new_f = jnp.where(validf[..., None], jnp.stack(fields[9:12], axis=-1), 0.0)
-        new_aid = jnp.where(validf, fields[12], config.num_slots)
+        new_f = jnp.where(
+            validf[..., None], jnp.stack(fields[f_col : f_col + 3], axis=-1), 0.0
+        )
+        new_aid = jnp.where(validf, fields[nf - 1], config.num_slots)
+        new_q = None if q_col is None else unflat(zero(fields[q_col]))
         return (
             unflat(new_pos), unflat(new_vel), unflat(zero(fields[6])),
             unflat(zero(fields[7])), unflat(zero(fields[8])), unflat(new_aid),
-            unflat(validf), overflow, unflat(new_f), unflat(new_pos),
+            unflat(validf), overflow, unflat(new_f), unflat(new_pos), new_q,
         )
 
     def _needs_rebin_local(pos, ref, valid):
@@ -461,33 +549,35 @@ def make_grid_sharded_sim(
     # ---- rollout under one shard_map ----
 
     def _rollout_local(num_steps, rebin_every, pos, vel, inv_m, hs, tse, aid,
-                       valid, ref, step, overflow):
-        def make_one_step(inv_m, hs, tse, valid):
+                       valid, ref, step, overflow, q=None):
+        def make_one_step(inv_m, hs, tse, valid, q, aid, aux):
             def one_step(carry, _):
                 pos, vel, f = carry
                 v_half = vel + (0.5 * dt_f) * f * inv_m[..., None]
                 new_pos = pos + dt_f * v_half
                 new_pos = jnp.where(valid[..., None], new_pos, pos)
-                f_new = forces_of(new_pos, hs, tse, valid)
+                f_new = forces_of(new_pos, hs, tse, valid, q, aid, aux)
                 v_new = v_half + (0.5 * dt_f) * f_new * inv_m[..., None]
                 return (new_pos, v_new, f_new), None
 
             return one_step
 
         def run_block(carry, length):
-            pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f = carry
-            (pos, vel, inv_m, hs, tse, aid, valid, overflow, f, ref) = _rebin_local(
-                pos, vel, inv_m, hs, tse, aid, valid, overflow, f
+            pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f, q = carry
+            (pos, vel, inv_m, hs, tse, aid, valid, overflow, f, ref, q) = _rebin_local(
+                pos, vel, inv_m, hs, tse, aid, valid, overflow, f, q
             )
+            aux = _aux_of(aid)
             (pos, vel, f), _ = jax.lax.scan(
-                make_one_step(inv_m, hs, tse, valid), (pos, vel, f), None, length=length
+                make_one_step(inv_m, hs, tse, valid, q, aid, aux),
+                (pos, vel, f), None, length=length,
             )
             overflow = overflow | _needs_rebin_local(pos, ref, valid)
-            return (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f)
+            return (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f, q)
 
-        f0 = forces_of(pos, hs, tse, valid)
+        f0 = forces_of(pos, hs, tse, valid, q, aid, _aux_of(aid))
         blocks, rem = divmod(num_steps, rebin_every)
-        carry = (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f0)
+        carry = (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f0, q)
         if blocks:
             carry, _ = jax.lax.scan(
                 lambda cr, _: (run_block(cr, rebin_every), None), carry, None,
@@ -495,32 +585,45 @@ def make_grid_sharded_sim(
             )
         if rem:
             carry = run_block(carry, rem)
-        (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f) = carry
+        (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f, q) = carry
         overflow = _all_reduce_or(overflow)
-        return pos, vel, inv_m, hs, tse, aid, valid, ref, step + num_steps, overflow
+        # A concrete dummy when chargeless: shard_map out_specs need a leaf.
+        q_out = q if q is not None else jnp.zeros((), jnp.float32)
+        return (
+            pos, vel, inv_m, hs, tse, aid, valid, ref, step + num_steps,
+            overflow, q_out,
+        )
 
     @partial(jax.jit, static_argnames=("num_steps", "rebin_every"))
     def rollout(state: CellDenseState, num_steps: int, rebin_every: int = 10):
+        if has_q and state.charges is None:
+            raise ValueError("coulomb model given but state has no charges")
+        n_in = 11 if has_q else 10
         fn = jax.shard_map(
             partial(_rollout_local, num_steps, rebin_every),
             mesh=mesh,
-            in_specs=(spec,) * 8 + (rep, rep),
-            out_specs=(spec,) * 8 + (rep, rep),
+            in_specs=(spec,) * 8 + (rep, rep) + ((spec,) if has_q else ()),
+            out_specs=(spec,) * 8 + (rep, rep) + ((spec,) if has_q else (rep,)),
             check_vma=False,
         )
-        (pos, vel, inv_m, hs, tse, aid, valid, ref, step, overflow) = fn(
+        args = (
             state.positions, state.velocities, state.inv_masses, state.half_sigma,
             state.twice_sqrt_eps, state.atom_id, state.valid, state.ref_positions,
             state.step, state.overflow,
-        )
+        ) + ((state.charges,) if has_q else ())
+        (pos, vel, inv_m, hs, tse, aid, valid, ref, step, overflow, q_out) = fn(*args)
         return state._replace(
             positions=pos, velocities=vel, inv_masses=inv_m, half_sigma=hs,
             twice_sqrt_eps=tse, atom_id=aid, valid=valid, ref_positions=ref,
             step=step, overflow=overflow,
+            charges=q_out if has_q else state.charges,
         )
 
-    def _energy_local(pos, vel, inv_m, hs, tse, valid):
-        f, e, w = _local_forces_xla(pos, hs, tse, valid, compute_energy=True)
+    def _energy_local(pos, vel, inv_m, hs, tse, valid, aid, q=None):
+        aid_f = _aid_of(aid, valid) if has_excl else None
+        f, e, w = _local_forces_xla(
+            pos, hs, tse, valid, q, aid_f, _aux_of(aid), compute_energy=True
+        )
         pe = jnp.sum(jnp.where(valid, e, 0.0))
         vir = jnp.sum(jnp.where(valid, w, 0.0))
         ke = 0.5 * jnp.sum(
@@ -536,13 +639,14 @@ def make_grid_sharded_sim(
         fn = jax.shard_map(
             _energy_local,
             mesh=mesh,
-            in_specs=(spec,) * 6,
+            in_specs=(spec,) * 7 + ((spec,) if has_q else ()),
             out_specs=(rep, rep, rep),
             check_vma=False,
         )
-        return fn(
+        args = (
             state.positions, state.velocities, state.inv_masses,
-            state.half_sigma, state.twice_sqrt_eps, state.valid,
-        )
+            state.half_sigma, state.twice_sqrt_eps, state.valid, state.atom_id,
+        ) + ((state.charges,) if has_q else ())
+        return fn(*args)
 
     return rollout, energy

@@ -121,3 +121,66 @@ def test_grid_pallas_interpret_matches_xla():
     pp, vp = gather_grid_atoms(out_p, config, n)
     np.testing.assert_allclose(pp, px, atol=1e-4)
     np.testing.assert_allclose(vp, vx, atol=1e-4)
+
+
+def test_grid_molecular_matches_single_chip():
+    """Charged system with kernel-exclusion tags on the 3D grid-sharded
+    engine ≡ the single-chip molecular engine (CPU mesh, XLA backends)."""
+    from emdee_tpu.neighbors.cell_dense_molecular import (
+        build_exclusion_tables,
+        make_molecular_dense_sim,
+    )
+    from emdee_tpu.potentials.coulomb import DSFCoulomb
+
+    n = 2048
+    pos, L = cubic_lattice(n, 0.09, jitter=0.1, seed=31)
+    vel = maxwell_boltzmann(n, 0.9, seed=32)
+    rng = np.random.default_rng(33)
+    q = np.where(np.arange(n) % 2 == 0, 0.25, -0.25).astype(np.float32)
+    q -= q.mean()
+    params = lennard_jones_atom(np.ones(n), np.ones(n))
+    config = suggest_cell_dense_config(n, L, cutoff=2.5, switch=2.0, skin=0.3)
+    m = max((config.cells_per_dim // 2) * 2, 4)
+    config = config._replace(cells_per_dim=m)
+    model = LennardJonesModel.create(2.5, 2.0)
+    coul = DSFCoulomb.create(2.5, alpha=0.25, coulomb_constant=1.0)
+    base = np.arange(0, n - 2, 3)
+    pairs = np.concatenate(
+        [np.stack([base, base + 1], 1), np.stack([base + 1, base + 2], 1)]
+    )
+    ljs = np.full(len(pairs), 0.5, np.float32)
+    cs = np.full(len(pairs), 0.8, np.float32)
+    tabs = build_exclusion_tables(n, pairs, ljs, cs)
+
+    st = cell_dense_init(pos, vel, np.ones(n), params, config, charges=q)
+    assert not bool(st.overflow)
+
+    # Single-chip molecular reference (kernel-exclusion mode, XLA backend).
+    rollout_1, energy_1 = make_molecular_dense_sim(
+        config, model, 0.002, n, params=params, charges=q, coulomb=coul,
+        exclusion_pairs=jnp.asarray(pairs, jnp.int32),
+        exclusion_scales=jnp.asarray(ljs),
+        exclusion_scales_coulomb=jnp.asarray(cs),
+        backend="xla", exclusion_mode="kernel",
+    )
+    ref = rollout_1(st, num_steps=20, rebin_every=5)
+    assert not bool(ref.overflow)
+    pe_ref = float(energy_1(st)[0])
+
+    mesh = make_grid_mesh((2, 2, 2))
+    from emdee_tpu.distributed.grid_sharded import distribute_grid as dist
+
+    st_sh = dist(st, config, mesh)
+    rollout_n, energy_n = make_grid_sharded_sim(
+        config, model, 0.002, mesh, backend="xla", coulomb=coul,
+        excl_tables=tabs,
+    )
+    pe_sh = float(energy_n(st_sh)[0])
+    assert pe_sh == pytest.approx(pe_ref, rel=1e-5, abs=1e-2)
+
+    out = rollout_n(st_sh, num_steps=20, rebin_every=5)
+    assert not bool(out.overflow)
+    p_ref, v_ref = gather_dense_atoms(ref, n)
+    p_out, v_out = gather_grid_atoms(out, config, n)
+    np.testing.assert_allclose(p_out, p_ref, atol=2e-4)
+    np.testing.assert_allclose(v_out, v_ref, atol=2e-4)
