@@ -598,7 +598,6 @@ def make_grid_sharded_sim(
     def rollout(state: CellDenseState, num_steps: int, rebin_every: int = 10):
         if has_q and state.charges is None:
             raise ValueError("coulomb model given but state has no charges")
-        n_in = 11 if has_q else 10
         fn = jax.shard_map(
             partial(_rollout_local, num_steps, rebin_every),
             mesh=mesh,

@@ -26,8 +26,6 @@ def _fixture_system():
 
 def _tile_system(system, reps=2):
     """Replicate a periodic System reps× along each axis (bigger fixture)."""
-    import dataclasses
-
     n = len(system)
     box = float(system.box_lengths[0])
     positions, bonds, spans = [], [], []

@@ -112,8 +112,6 @@ def test_throughput_meter():
 def test_berendsen_npt_relaxes_pressure():
     """NPT: start compressed at high pressure, couple to P*=1.0 → the box
     expands and the mean pressure approaches the target."""
-    from functools import partial
-
     from emdee_tpu.dynamics.bussi import bussi_step
     from emdee_tpu.dynamics.npt import instantaneous_pressure, npt_rollout
     from emdee_tpu.neighbors.allpairs import compute_nonbonded_allpairs

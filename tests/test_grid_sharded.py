@@ -135,7 +135,6 @@ def test_grid_molecular_matches_single_chip():
     n = 2048
     pos, L = cubic_lattice(n, 0.09, jitter=0.1, seed=31)
     vel = maxwell_boltzmann(n, 0.9, seed=32)
-    rng = np.random.default_rng(33)
     q = np.where(np.arange(n) % 2 == 0, 0.25, -0.25).astype(np.float32)
     q -= q.mean()
     params = lennard_jones_atom(np.ones(n), np.ones(n))
