@@ -977,7 +977,9 @@ def make_cell_dense_sim(
             if aux_fn is not None:
                 raise ValueError("the streaming Pallas kernel has no exclusion tags")
             def forces_of_pairs(state, aux=None):
-                return pallas_cell_forces_streaming(state, model, config)[0]
+                return pallas_cell_forces_streaming(
+                    state, model, config, uniform_params=uniform_params
+                )[0]
         else:
             cc = None
             if coulomb is not None:

@@ -623,7 +623,9 @@ _FULL_SHELL_27 = [
 ]
 
 
-def _prep_streaming_inputs(state: CellDenseState, config: CellDenseConfig):
+def _prep_streaming_inputs(
+    state: CellDenseState, config: CellDenseConfig, uniform: bool = False
+):
     """Ghost neighborhood as 9 per-(dz,dy) row views of shape (M², 1, G·C).
 
     Pallas block index maps cannot express overlapping (halo) windows, so the
@@ -640,9 +642,11 @@ def _prep_streaming_inputs(state: CellDenseState, config: CellDenseConfig):
         _ghost(grid(pos[..., 0]), m, axis_shift=2, box=config.box),
         _ghost(grid(pos[..., 1]), m, axis_shift=1, box=config.box),
         _ghost(grid(pos[..., 2]), m, axis_shift=0, box=config.box),
-        _ghost(grid(state.half_sigma), m),
-        _ghost(grid(state.twice_sqrt_eps), m),
-    ]  # each (G, G, G, C): axes (z, y, x, slot)
+    ]
+    cen_fields = [pos[..., 0], pos[..., 1], pos[..., 2]]
+    if not uniform:
+        fields += [_ghost(grid(state.half_sigma), m), _ghost(grid(state.twice_sqrt_eps), m)]
+        cen_fields += [state.half_sigma, state.twice_sqrt_eps]
 
     views = []
     for field in fields:
@@ -655,29 +659,29 @@ def _prep_streaming_inputs(state: CellDenseState, config: CellDenseConfig):
     def center(a):
         return a.reshape(m * m, m, c).transpose(0, 2, 1)
 
-    centers = jnp.concatenate(
-        [
-            center(pos[..., 0]),
-            center(pos[..., 1]),
-            center(pos[..., 2]),
-            center(state.half_sigma),
-            center(state.twice_sqrt_eps),
-        ],
-        axis=1,
-    )  # (M², 5C, M)
+    centers = jnp.concatenate([center(a) for a in cen_fields], axis=1)
     return views, centers
 
 
-def _make_streaming_kernel(config: CellDenseConfig, model_consts, compute_energy, interpret):
+def _make_streaming_kernel(
+    config: CellDenseConfig, model_consts, compute_energy, interpret,
+    uniform_params=None,
+):
     m, c = config.cells_per_dim, config.capacity
     g = m + 2
     mc = m * c
     rs2, invd2 = model_consts
+    uniform = uniform_params is not None
+    if uniform:
+        hs_u, tse_u = uniform_params
+        sig2_u = float((2.0 * hs_u) ** 2)
+        eps4_u = float(tse_u * tse_u)
+    n_fields_in = 3 if uniform else 5
 
     def kernel(*refs):
-        ghost_refs = refs[:45]  # 5 fields × 9 (dz,dy) views
-        centers = refs[45]
-        outs = refs[46:]
+        ghost_refs = refs[: 9 * n_fields_in]  # fields × 9 (dz,dy) views
+        centers = refs[9 * n_fields_in]
+        outs = refs[9 * n_fields_in + 1 :]
         fx, fy, fz = outs[:3]
         if compute_energy:
             e_out, w_out = outs[3:]
@@ -713,8 +717,9 @@ def _make_streaming_kernel(config: CellDenseConfig, model_consts, compute_energy
         cenx = cen_all[0:c]
         ceny = cen_all[c : 2 * c]
         cenz = cen_all[2 * c : 3 * c]
-        cenhs = cen_all[3 * c : 4 * c]
-        centse = cen_all[4 * c : 5 * c]
+        if not uniform:
+            cenhs = cen_all[3 * c : 4 * c]
+            centse = cen_all[4 * c : 5 * c]
 
         zero_tile = jnp.zeros((c, mc), jnp.float32)
         acc = [zero_tile, zero_tile, zero_tile, zero_tile, zero_tile]
@@ -725,22 +730,29 @@ def _make_streaming_kernel(config: CellDenseConfig, model_consts, compute_energy
             nx = ghost_refs[0 * 9 + view][0, 0:1, pl.ds(win, mc)]
             ny = ghost_refs[1 * 9 + view][0, 0:1, pl.ds(win, mc)]
             nz = ghost_refs[2 * 9 + view][0, 0:1, pl.ds(win, mc)]
-            nhs = ghost_refs[3 * 9 + view][0, 0:1, pl.ds(win, mc)]
-            ntse = ghost_refs[4 * 9 + view][0, 0:1, pl.ds(win, mc)]
 
             dvx = cenx - nx
             dvy = ceny - ny
             dvz = cenz - nz
             r2 = dvx * dvx + dvy * dvy + dvz * dvz
-            sig = cenhs + nhs
-            eps4 = centse * ntse
+            if uniform:
+                eps4 = eps4_u * (1.0 - is_self) if (dz, dy, dx) == (0, 0, 0) else eps4_u
+            else:
+                nhs = ghost_refs[3 * 9 + view][0, 0:1, pl.ds(win, mc)]
+                ntse = ghost_refs[4 * 9 + view][0, 0:1, pl.ds(win, mc)]
+                sig = cenhs + nhs
+                eps4 = centse * ntse
+                if (dz, dy, dx) == (0, 0, 0):
+                    eps4 = eps4 * (1.0 - is_self)
             if (dz, dy, dx) == (0, 0, 0):
-                eps4 = eps4 * (1.0 - is_self)
                 r2 = r2 + is_self
             r0 = pl.reciprocal(r2, approx=True) if not interpret else 1.0 / r2
             r0 = r0 * (2.0 - r2 * r0)
             rinv = r0 * (2.0 - r2 * r0)
-            s2 = sig * sig * rinv
+            if uniform:
+                s2 = sig2_u * rinv
+            else:
+                s2 = sig * sig * rinv
             s6 = s2 * s2 * s2
             e4s6 = eps4 * s6
             energy = e4s6 * (s6 - 1.0)
@@ -771,7 +783,10 @@ def _make_streaming_kernel(config: CellDenseConfig, model_consts, compute_energy
     return kernel
 
 
-@partial(jax.jit, static_argnames=("config", "compute_energy", "interpret"))
+@partial(
+    jax.jit,
+    static_argnames=("config", "compute_energy", "interpret", "uniform_params"),
+)
 def pallas_cell_forces_streaming(
     state: CellDenseState,
     model: LennardJonesModel,
@@ -779,6 +794,7 @@ def pallas_cell_forces_streaming(
     *,
     compute_energy: bool = False,
     interpret: bool = False,
+    uniform_params=None,
 ):
     """Streaming (HBM-fed) variant of `pallas_cell_forces` for any N.
 
@@ -795,11 +811,15 @@ def pallas_cell_forces_streaming(
     rc2 = float(config.cutoff) ** 2
     invd2 = 1.0 / (rc2 - rs2)
 
-    views, centers = _prep_streaming_inputs(state, config)
-    kernel = _make_streaming_kernel(config, (rs2, invd2), compute_energy, interpret)
+    uniform = uniform_params is not None
+    n_f = 3 if uniform else 5
+    views, centers = _prep_streaming_inputs(state, config, uniform=uniform)
+    kernel = _make_streaming_kernel(
+        config, (rs2, invd2), compute_energy, interpret, uniform_params=uniform_params
+    )
 
     ghost_spec = pl.BlockSpec((1, 1, g * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    center_spec = pl.BlockSpec((1, 5 * c, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    center_spec = pl.BlockSpec((1, n_f * c, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out_center = pl.BlockSpec((1, c, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     n_out = 5 if compute_energy else 3
@@ -808,7 +828,7 @@ def pallas_cell_forces_streaming(
 
     call_kwargs = dict(
         grid=(m * m,),
-        in_specs=[ghost_spec] * 45 + [center_spec],
+        in_specs=[ghost_spec] * (9 * n_f) + [center_spec],
         out_specs=out_specs,
         out_shape=out_shapes,
     )

@@ -96,6 +96,13 @@ def test_streaming_kernel_matches_xla_dense():
     np.testing.assert_allclose(
         np.asarray(w_k)[valid], np.asarray(w_ref)[valid], rtol=1e-4, atol=2e-3
     )
+    # Uniform-params fast path: bit-identical to the non-uniform variant for
+    # a single LJ type (σ/2+σ/2 squared and 2√ε·2√ε reduce to the same f32
+    # constants; measured diff exactly 0.0 on v5e at 100k atoms).
+    f_u = pallas_cell_forces_streaming(
+        st, model, config, interpret=True, uniform_params=(0.5, 2.0)
+    )[0]
+    np.testing.assert_array_equal(np.asarray(f_u)[valid], np.asarray(f_k)[valid])
 
 
 def test_kernel_charged_with_exclusions_matches_xla():
