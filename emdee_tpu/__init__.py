@@ -56,6 +56,7 @@ from emdee_tpu.dynamics.verlet import velocity_verlet_step, nve_rollout
 from emdee_tpu.dynamics.langevin import nvt_rollout
 from emdee_tpu.dynamics.bussi import csvr_rollout
 from emdee_tpu.dynamics.npt import npt_rollout
+from emdee_tpu.dynamics.minimize import FireConfig, fire_minimize
 
 __version__ = "0.1.0"
 
@@ -104,4 +105,6 @@ __all__ = [
     "nvt_rollout",
     "csvr_rollout",
     "npt_rollout",
+    "fire_minimize",
+    "FireConfig",
 ]

@@ -150,3 +150,29 @@ def test_berendsen_npt_relaxes_pressure():
     assert abs(p1 - 1.0) < 1.5, (p0, p1)
     assert float(out.box) > float(state.box)  # the box expanded
     assert np.isfinite(np.asarray(boxes)).all()
+
+
+def test_fire_minimization_relaxes_forces():
+    """FIRE: a jittered lattice relaxes to near-zero forces with monotone-ish
+    potential-energy decrease."""
+    from emdee_tpu.core.types import ENERGIES
+    from emdee_tpu.dynamics.minimize import FireConfig, fire_minimize
+
+    n = 343
+    pos, L = cubic_lattice(n, 0.8, jitter=0.12, seed=17)
+    state = make_state(pos, np.zeros((n, 3)), box=L)
+    nb = make_force_fn(
+        NonbondedConfig(cutoff=2.5, switch=2.0, method="allpairs"),
+        lennard_jones_atom(np.ones(n), np.ones(n)), L, n,
+    )
+    pe0 = float(jnp.sum(nb.compute(state.positions, (), outputs=ENERGIES).energies))
+    f0 = float(jnp.max(jnp.abs(nb.force_fn(state.positions, state.box, ())[0])))
+    out, _, hist = fire_minimize(
+        state, (), nb.force_fn, num_steps=1000,
+        config=FireConfig(dt_start=0.001, dt_max=0.008),
+    )
+    pe1 = float(jnp.sum(nb.compute(out.positions, (), outputs=ENERGIES).energies))
+    f1 = float(jnp.max(jnp.abs(nb.force_fn(out.positions, out.box, ())[0])))
+    assert pe1 < pe0 - 1.0, (pe0, pe1)
+    assert f1 < 0.02 * f0, (f0, f1)
+    assert f1 < 2.0, f1
