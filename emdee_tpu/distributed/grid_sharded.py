@@ -41,7 +41,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from emdee_tpu.core.pbc import wrap_scaled
 from emdee_tpu.neighbors.cell_dense import (
     CellDenseConfig,
     CellDenseState,
@@ -314,7 +313,7 @@ def make_grid_sharded_sim(
         gq = _ghost3(q) if has_q else None
         gaid = _ghost3(aid_f) if has_excl else None
 
-        def pair_terms(r2s, ok, hs_i, tse_i, hs_j, tse_j, q_i, q_j, aid_j):
+        def pair_terms(r2s, hs_i, tse_i, hs_j, tse_j, q_i, q_j, aid_j):
             e, mrE = pair_interaction(r2s, model, hs_i, tse_i, hs_j, tse_j)
             csc = None
             if has_excl:
@@ -367,7 +366,7 @@ def make_grid_sharded_sim(
         ok = valid[..., :, None] & valid[..., None, :] & ~eye
         r2s = jnp.where(ok, r2, 1.0)
         e, mrE = pair_terms(
-            r2s, ok, hs[..., :, None], tse[..., :, None], hs[..., None, :], tse[..., None, :],
+            r2s, hs[..., :, None], tse[..., :, None], hs[..., None, :], tse[..., None, :],
             q[..., :, None] if has_q else None,
             q[..., None, :] if has_q else None,
             aid_f if has_excl else None,
@@ -388,7 +387,7 @@ def make_grid_sharded_sim(
             ok = valid[..., :, None] & nvalid[..., None, :]
             r2s = jnp.where(ok, r2, 1.0)
             e, mrE = pair_terms(
-                r2s, ok,
+                r2s,
                 hs[..., :, None], tse[..., :, None],
                 nhs[..., None, :], ntse[..., None, :],
                 q[..., :, None] if has_q else None,
@@ -502,7 +501,7 @@ def make_grid_sharded_sim(
         fields += [flat(vel)[..., i] for i in range(3)]
         fields += [flat(inv_m), flat(hs), flat(tse)]
         q_col = None
-        if has_q:
+        if q is not None:
             q_col = len(fields)
             fields.append(flat(q))
         f_col = len(fields)
@@ -598,24 +597,27 @@ def make_grid_sharded_sim(
     def rollout(state: CellDenseState, num_steps: int, rebin_every: int = 10):
         if has_q and state.charges is None:
             raise ValueError("coulomb model given but state has no charges")
+        # Charges ride the rebin whenever the state carries them — even
+        # LJ-only runs must keep them bound to the right slots.
+        route_q = state.charges is not None
         fn = jax.shard_map(
             partial(_rollout_local, num_steps, rebin_every),
             mesh=mesh,
-            in_specs=(spec,) * 8 + (rep, rep) + ((spec,) if has_q else ()),
-            out_specs=(spec,) * 8 + (rep, rep) + ((spec,) if has_q else (rep,)),
+            in_specs=(spec,) * 8 + (rep, rep) + ((spec,) if route_q else ()),
+            out_specs=(spec,) * 8 + (rep, rep) + ((spec,) if route_q else (rep,)),
             check_vma=False,
         )
         args = (
             state.positions, state.velocities, state.inv_masses, state.half_sigma,
             state.twice_sqrt_eps, state.atom_id, state.valid, state.ref_positions,
             state.step, state.overflow,
-        ) + ((state.charges,) if has_q else ())
+        ) + ((state.charges,) if route_q else ())
         (pos, vel, inv_m, hs, tse, aid, valid, ref, step, overflow, q_out) = fn(*args)
         return state._replace(
             positions=pos, velocities=vel, inv_masses=inv_m, half_sigma=hs,
             twice_sqrt_eps=tse, atom_id=aid, valid=valid, ref_positions=ref,
             step=step, overflow=overflow,
-            charges=q_out if has_q else state.charges,
+            charges=q_out if route_q else None,
         )
 
     def _energy_local(pos, vel, inv_m, hs, tse, valid, aid, q=None):

@@ -52,14 +52,21 @@ def bussi_step(
     tau,
     temperature,
     kB: float = 1.0,
+    com_fixed: bool = True,
 ) -> Tuple[State, jax.Array, Any]:
-    """One velocity-Verlet step + CSVR global velocity rescale."""
+    """One velocity-Verlet step + CSVR global velocity rescale.
+
+    com_fixed: velocity-Verlet conserves total momentum, and the standard
+    velocity init zeroes it, so the center of mass carries no kinetic
+    energy — the live dof count is 3N−3 (else the sampled temperature of
+    the real dofs is biased high by 3N/(3N−3)).
+    """
     if state.rng is None:
         raise ValueError("the Bussi thermostat needs a State with an rng key")
     dtype = state.positions.dtype
     kT = jnp.asarray(kB * temperature, dtype)
     n = state.positions.shape[0]
-    ndof = jnp.asarray(3 * n, dtype)
+    ndof = jnp.asarray(3 * n - (3 if com_fixed else 0), dtype)
 
     state, forces, aux = velocity_verlet_step(state, forces, aux, force_fn, dt)
 

@@ -48,7 +48,13 @@ def berendsen_npt_step(
     kappa: float = 1.0,  # isothermal compressibility (units of 1/P)
     thermostat_step: Callable = None,
 ) -> Tuple[State, jax.Array, Any]:
-    """One (thermostatted) step + Berendsen box/position rescale."""
+    """One (thermostatted) step + Berendsen box/position rescale.
+
+    Note: virial_fn is a second pair evaluation per step; for long NPT runs
+    fold the virial into force_fn's outputs (FORCES|VIRIALS in one pass,
+    carried through `aux`) — kept separate here for force_fn-compatibility
+    with every existing path.
+    """
     from emdee_tpu.dynamics.verlet import velocity_verlet_step
 
     step_fn = thermostat_step or velocity_verlet_step

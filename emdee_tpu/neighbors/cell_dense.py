@@ -760,7 +760,10 @@ def cell_dense_forces(
     aid_f = None
     if excl is not None:
         # Neighbor-side atom ids as exact-in-f32 integers; invalid → −2
-        # (never matches the −1 pad or any real id).
+        # (never matches the −1 pad or any real id).  Missing Coulomb
+        # scales default to the LJ scales (the correction-pass convention).
+        if coulomb is not None and excl[2] is None:
+            excl = (excl[0], excl[1], excl[1])
         aid_f = jnp.where(valid, state.atom_id, -2).astype(jnp.float32)
 
     def pair_terms(r2s, ok, hs_i, tse_i, hs_j, tse_j, q_i=None, q_j=None, aid_j=None):
@@ -962,7 +965,7 @@ def make_cell_dense_sim(
             # The whole-problem-in-VMEM kernel tops out around ~150k atoms;
             # beyond that the HBM-streaming kernel variant takes over.
             backend = "pallas_streaming"
-        if backend == "pallas_streaming" and coulomb is not None:
+        if backend == "pallas_streaming" and (coulomb is not None or aux_fn is not None):
             backend = "xla"  # streaming kernel is LJ-only (so far)
     if backend in ("pallas", "pallas_interpret", "pallas_streaming"):
         from emdee_tpu.neighbors.pallas_cell_kernel import (

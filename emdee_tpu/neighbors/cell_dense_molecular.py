@@ -168,9 +168,18 @@ def make_molecular_dense_sim(
     bonded_force = bonded.force_fn() if bonded is not None else None
 
     if has_excl and exclusion_mode == "kernel":
+        # Coulomb scales default to the LJ scales when unspecified — the
+        # same fallback `apply_exclusion_corrections` uses, so the two
+        # exclusion modes always agree.
+        cs_for_tables = None
+        if coulomb is not None:
+            cs_for_tables = (
+                exclusion_scales_coulomb
+                if exclusion_scales_coulomb is not None
+                else exclusion_scales
+            )
         tabs = build_exclusion_tables(
-            num_atoms, exclusion_pairs, exclusion_scales,
-            exclusion_scales_coulomb if coulomb is not None else None,
+            num_atoms, exclusion_pairs, exclusion_scales, cs_for_tables,
         )
         aux_fn = make_exclusion_aux_fn(num_atoms, *tabs)
 
@@ -269,6 +278,10 @@ def dense_sim_from_system(
     n = len(system)
     if system.box_lengths is None:
         raise ValueError("System has no periodic box")
+    if not np.allclose(system.box_lengths, system.box_lengths[0]):
+        raise NotImplementedError(
+            f"non-cubic boxes not yet supported (got {system.box_lengths})"
+        )
     box = float(system.box_lengths[0])
     params = system.lj_params(length_scale)
     pairs, lj_s, c_s = system.exclusions(coulomb=True)

@@ -493,6 +493,10 @@ def pallas_cell_forces(
     g = m + 2
     uniform = uniform_params is not None
 
+    if excl is not None and coulomb is not None and excl[2] is None:
+        # Missing Coulomb scales default to the LJ scales (the
+        # correction-pass convention) — never silently skip them.
+        excl = (excl[0], excl[1], excl[1])
     inputs = _prep_inputs(
         state, config, uniform=uniform,
         kc=0.0 if coulomb is None else coulomb[4], excl=excl,
