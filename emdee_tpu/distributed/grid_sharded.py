@@ -23,8 +23,10 @@ an explicit `ppermute` over the mesh ring — nothing left to the partitioner:
 This is the TPU-native analog of the multi-GPU spatial decomposition the
 reference never had (SURVEY.md §2b): `ppermute` over ICI plays the role warp
 shuffles play intra-GPU in `compute_tile!` (nonbonded.jl:68-84), one level up
-the hierarchy.  LJ-only (like the reference's kernel); molecular terms ride
-the single-chip engine for now.
+the hierarchy.  Molecular systems are first-class: DSF Coulomb rides every
+pair evaluation (charges travel with the halos) and kernel-resident exclusion
+tags are rebuilt per shard after each rebin (`excl_tables`), so cross-boundary
+exclusions work through the ghost copies for free.
 
 Mesh axis sizes of 1 degrade gracefully to local periodic wraps, so a
 (D, 1, 1) mesh reproduces the 1D slab decomposition and (1, 1, 1) the
@@ -158,6 +160,11 @@ def make_grid_sharded_sim(
         from emdee_tpu.potentials.coulomb import coulomb_consts
 
         cc = coulomb_consts(coulomb)
+    if has_excl and has_q and excl_tables[2] is None:
+        # Mirror the single-chip engines: a missing Coulomb-scale table means
+        # "use the LJ scales", never "skip Coulomb exclusions" — silently
+        # skipping would give bonded 1-2/1-3 pairs full electrostatics.
+        excl_tables = (excl_tables[0], excl_tables[1], excl_tables[1])
     excl_e = 0 if not has_excl else int(excl_tables[0].shape[-1])
     excl_cs = has_excl and excl_tables[2] is not None
     n_tab = None if not has_excl else int(excl_tables[0].shape[0]) - 1
@@ -233,12 +240,18 @@ def make_grid_sharded_sim(
     # ---- per-shard force pass ----
 
     def _global_slot_ids(c_):
-        """Globally-unique slot ids (mz, my, mx, C) for sentinel spacing."""
-        iz = jax.lax.axis_index(AXES[0]) * mz + jnp.arange(mz)[:, None, None, None]
-        iy = jax.lax.axis_index(AXES[1]) * my + jnp.arange(my)[None, :, None, None]
-        ix = jax.lax.axis_index(AXES[2]) * mx + jnp.arange(mx)[None, None, :, None]
-        cell = ix + m * (iy + m * iz)
-        return (cell * c_ + jnp.arange(c_)[None, None, None, :]).astype(jnp.float32)
+        """Neighborhood-unique slot ids (mz, my, mx, C) for sentinel spacing.
+
+        Built from GLOBAL cell coordinates mod 4 (+ slot), so ids are distinct
+        for any two slots within ±1 cells of each other — including across
+        shard boundaries — and bounded by 64·C, keeping the 7· sentinel
+        spacing exact in f32 at any system size.  The periodic wrap seam is
+        safe because `_halo` box-shifts coordinate fields crossing it."""
+        iz = (jax.lax.axis_index(AXES[0]) * mz + jnp.arange(mz))[:, None, None, None] & 3
+        iy = (jax.lax.axis_index(AXES[1]) * my + jnp.arange(my))[None, :, None, None] & 3
+        ix = (jax.lax.axis_index(AXES[2]) * mx + jnp.arange(mx))[None, None, :, None] & 3
+        hood = ix + 4 * (iy + 4 * iz)
+        return (hood * c_ + jnp.arange(c_)[None, None, None, :]).astype(jnp.float32)
 
     def _sentinel(pos, valid):
         far = _FAR + 7.0 * _global_slot_ids(c)

@@ -102,6 +102,10 @@ def fire_minimize(
     (st, f, aux, dt, alpha, n_up, best_pos, best_f), history = jax.lax.scan(
         step, carry, None, length=num_steps
     )
+    # The minimizer may have wandered beyond the neighbor skin between the
+    # best-visited and final configurations; one extra force_fn call rebinds
+    # aux (neighbor/cell state) to the positions actually returned.
+    _, aux = force_fn(best_pos, st.box, aux)
     return (
         st._replace(positions=best_pos, velocities=jnp.zeros_like(st.velocities)),
         aux,

@@ -100,7 +100,7 @@ def suggest_cell_dense_config(
     cutoff: float,
     switch: float,
     skin: float = 0.4,
-    capacity_multiplier: float = 1.25,
+    capacity_multiplier: Optional[float] = None,
     spill: bool = False,
     spill_margin: float = 0.15,
 ) -> CellDenseConfig:
@@ -117,7 +117,16 @@ def suggest_cell_dense_config(
     # scales as capacity², so the margin is deliberately tight: an
     # overflowing cell trips the sticky flag rather than silently
     # corrupting, and callers double capacity on retry.
-    del capacity_multiplier  # legacy knob, superseded by the measured margin
+    if capacity_multiplier is not None:
+        import warnings
+
+        warnings.warn(
+            "capacity_multiplier is deprecated and ignored — capacity is set "
+            "from the measured occupancy margin (mean + 2.5σ); pass a wider "
+            "config via config._replace(capacity=...) if you need headroom",
+            DeprecationWarning,
+            stacklevel=2,
+        )
     if spill:
         # Boundary-spill balancing (`_rebin_shift`) sheds the occupancy
         # tail into face-adjacent cells, so capacity only needs to cover

@@ -61,12 +61,73 @@ _HALF_SHELL = [
 _FAR = 1.0e5  # sentinel distance scale for empty slots
 
 
+def _recip_newton_steps() -> int:
+    """Newton refinement steps after `pl.reciprocal(approx=True)`.
+
+    One step suffices only where the VRCP seed accuracy is MEASURED (~2⁻¹⁶ on
+    v5e → one step reaches 2⁻²²·⁷, f32-ulp-limited).  An unmeasured TPU
+    generation with a coarser seed would silently reintroduce NVE energy
+    drift (~1%/1500 steps was observed with insufficient reciprocal
+    accuracy), so unknown generations get two steps (+~3% kernel time).
+    Override with EMDEE_RECIP_NEWTON=1|2."""
+    import os
+
+    env = os.environ.get("EMDEE_RECIP_NEWTON")
+    if env:
+        return max(1, int(env))
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "")
+    if not gen:
+        try:
+            gen = jax.devices()[0].device_kind
+        except Exception:
+            gen = ""
+    gen = gen.lower().replace(" ", "")
+    measured_good = ("v5e", "v5lite")
+    return 1 if any(tag in gen for tag in measured_good) else 2
+
+
+_NEWTON_STEPS: int | None = None
+
+
+def _newton_steps() -> int:
+    """Cached `_recip_newton_steps` (device query deferred past import)."""
+    global _NEWTON_STEPS
+    if _NEWTON_STEPS is None:
+        _NEWTON_STEPS = _recip_newton_steps()
+    return _NEWTON_STEPS
+
+
+def _recip(x, interpret: bool, steps: int):
+    """Full-f32-accuracy reciprocal: VRCP seed + `steps` Newton refinements
+    (exact division in interpreter mode, where pl.reciprocal is unavailable)."""
+    if interpret:
+        return 1.0 / x
+    r = pl.reciprocal(x, approx=True)
+    for _ in range(steps):
+        r = r * (2.0 - x * r)
+    return r
+
+
 def _sentinel_positions(state: CellDenseState, config: CellDenseConfig):
-    """Replace empty-slot positions with distinct far-away coordinates so the
-    switching clamp zeroes their interactions exactly (no NaN, no masks)."""
-    ns = config.num_slots
-    slot_ids = jnp.arange(ns, dtype=jnp.float32).reshape(state.valid.shape)
-    far = _FAR + 7.0 * slot_ids  # ≥ 1 apart from each other and from the box
+    """Replace empty-slot positions with far-away coordinates, pairwise ≥ 7
+    apart for any two slots the kernel can ever pair, so the switching clamp
+    zeroes their interactions exactly (no NaN, no masks).
+
+    Uniqueness is only needed within ±1-cell neighborhoods (the half-shell
+    stencil never pairs cells further apart), so the id is (cell coords mod 4,
+    slot) — bounded by 64·C, hence the 7· spacing stays EXACT in f32 at any
+    system size (a global slot id would lose integer exactness past ~2.4M
+    slots and let two sentinels collide into r²=0).  Wrap-seam ghost copies
+    are box-shifted along the crossing coordinate by `_ghost`, so an id
+    collision across the periodic seam still yields distance ≥ box > rc."""
+    m, c = config.cells_per_dim, config.capacity
+    cell = jnp.arange(m * m * m, dtype=jnp.int32)
+    gz, gy, gx = cell // (m * m), (cell // m) % m, cell % m
+    hood = ((gz & 3) * 16 + (gy & 3) * 4 + (gx & 3)).astype(jnp.float32)
+    slot = jnp.arange(c, dtype=jnp.float32)
+    far = (_FAR + 7.0 * (hood[:, None] * c + slot[None, :])).reshape(
+        state.valid.shape
+    )
     pos = jnp.where(state.valid[..., None], state.positions, far[..., None])
     return pos
 
@@ -219,6 +280,7 @@ def _make_kernel(
     g = gx_n
     mc = mx * c
     rs2, invd2 = model_consts
+    n_newton = _newton_steps()
     uniform = uniform_params is not None
     if uniform:
         hs_u, tse_u = uniform_params
@@ -323,11 +385,11 @@ def _make_kernel(
             r2 = dvx * dvx + dvy * dvy + dvz * dvz
             if self_pass:
                 r2 = r2 + is_self[...]
-            # Approximate reciprocal + one Newton step → full f32 accuracy:
-            # the v5e VRCP seed is ~2⁻¹⁶ (measured), so one step reaches
-            # 2⁻²²·⁷ vs 2⁻²³·³ for two — both f32-ulp-limited.
-            r0 = pl.reciprocal(r2, approx=True) if not interpret else 1.0 / r2
-            rinv = r0 * (2.0 - r2 * r0)
+            # Approximate reciprocal + device-gated Newton refinement: one
+            # step on generations whose VRCP seed is measured (~2⁻¹⁶ on v5e →
+            # 2⁻²²·⁷, f32-ulp-limited), two on unknown generations
+            # (_recip_newton_steps).
+            rinv = _recip(r2, interpret, n_newton)
             if uniform:
                 s2 = sig2_u * rinv
                 s6 = s2 * s2 * s2
@@ -384,8 +446,7 @@ def _make_kernel(
                 r = r2 * rs_inv
                 ex = jnp.exp(-cl_alpha2 * r2)
                 tden = 1.0 + (_ERFC_P * cl_alpha) * r
-                t0 = pl.reciprocal(tden, approx=True) if not interpret else 1.0 / tden
-                t = t0 * (2.0 - tden * t0)
+                t = _recip(tden, interpret, n_newton)
                 a1, a2, a3, a4, a5 = _ERFC_A
                 erfc_ar = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5)))) * ex
                 g_r = erfc_ar * rinv + (cl_gauss * ex) * rs_inv
@@ -675,6 +736,7 @@ def _make_streaming_kernel(
     g = m + 2
     mc = m * c
     rs2, invd2 = model_consts
+    n_newton = _newton_steps()
     uniform = uniform_params is not None
     if uniform:
         hs_u, tse_u = uniform_params
@@ -750,9 +812,7 @@ def _make_streaming_kernel(
                     eps4 = eps4 * (1.0 - is_self)
             if (dz, dy, dx) == (0, 0, 0):
                 r2 = r2 + is_self
-            r0 = pl.reciprocal(r2, approx=True) if not interpret else 1.0 / r2
-            r0 = r0 * (2.0 - r2 * r0)
-            rinv = r0 * (2.0 - r2 * r0)
+            rinv = _recip(r2, interpret, max(n_newton, 2))
             if uniform:
                 s2 = sig2_u * rinv
             else:
