@@ -41,7 +41,10 @@ from emdee_tpu.neighbors.cell_list import CellList, build_cell_list
 from emdee_tpu.neighbors.neighbor_list import NeighborList, build_neighbor_list
 from emdee_tpu.neighbors.api import NonbondedConfig, make_force_fn
 from emdee_tpu.neighbors.cell_dense import (
+    BerendsenBarostatConfig,
     CellDenseConfig,
+    CSVRConfig,
+    LangevinConfig,
     cell_dense_init,
     gather_dense_atoms,
     make_cell_dense_sim,
@@ -92,7 +95,10 @@ __all__ = [
     "build_neighbor_list",
     "make_force_fn",
     "NonbondedConfig",
+    "BerendsenBarostatConfig",
     "CellDenseConfig",
+    "CSVRConfig",
+    "LangevinConfig",
     "cell_dense_init",
     "gather_dense_atoms",
     "make_cell_dense_sim",

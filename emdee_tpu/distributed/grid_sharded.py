@@ -133,9 +133,13 @@ def make_grid_sharded_sim(
 ):
     """(rollout, energy) closures; state is grid-layout, mesh-sharded.
 
-    backend: 'pallas' (TPU kernel per shard), 'pallas_interpret' (kernel in
-    interpreter mode — CPU-mesh tests of the REAL communication pattern),
-    'xla' (portable half-shell via static slices of the ghost grid), 'auto'.
+    backend: 'pallas' (VMEM-resident TPU kernel per shard),
+    'pallas_streaming' (HBM-streaming kernel per shard, for shards beyond
+    VMEM residency — ≳150k atoms/shard), 'pallas_interpret' /
+    'pallas_streaming_interpret' (interpreter mode — CPU-mesh tests of the
+    REAL communication pattern), 'xla' (portable half-shell via static
+    slices of the ghost grid), or 'auto' (resident vs streaming picked by
+    a per-shard VMEM estimate on TPU, xla elsewhere).
 
     coulomb: optional DSFCoulomb model (state.charges must be set) — DSF
     electrostatics ride every pair evaluation, sharded like LJ.
@@ -152,6 +156,22 @@ def make_grid_sharded_sim(
     dt_f = jnp.float32(dt)
     if backend == "auto":
         backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+        if backend == "pallas":
+            # Per-shard VMEM estimate for the resident kernel's ghost fields
+            # + reaction buffer + tile temporaries; beyond it, stream rows.
+            gb = (mz + 2) * (my + 2) * (mx + 2) * c * 4
+            n_gf = 3 + (0 if uniform_params is not None else 2)
+            n_gf += (1 if coulomb is not None else 0) + (1 if excl_tables is not None else 0)
+            est = (n_gf + 3) * gb + 8 * c * mx * c * 4
+            if est > 13_000_000:
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "grid-sharded auto backend: per-shard VMEM estimate "
+                    "%.1f MB > 13 MB — using the HBM-streaming kernel per shard",
+                    est / 1e6,
+                )
+                backend = "pallas_streaming"
     uniform = uniform_params is not None
     has_q = coulomb is not None
     has_excl = excl_tables is not None
@@ -257,17 +277,14 @@ def make_grid_sharded_sim(
         far = _FAR + 7.0 * _global_slot_ids(c)
         return jnp.where(valid[..., None], pos, far[..., None])
 
-    def _local_forces_pallas(pos, hs, tse, valid, q, aid_f, aux, interpret):
-        from emdee_tpu.neighbors.pallas_cell_kernel import (
-            _const_tiles,
-            halfshell_call,
-        )
-
-        gz, gy, gx = mz + 2, my + 2, mx + 2
+    def _build_ghosts_centers(pos, hs, tse, valid, q, aid_f, aux):
+        """Sentineled ghost grids (4D (gz, gy, gx, C)) + stacked center block
+        for the per-shard Pallas kernels (resident AND streaming)."""
         pos = _sentinel(pos, valid)
         fields = [
             (pos[..., 0], 2), (pos[..., 1], 1), (pos[..., 2], 0),
         ]
+        qs = None
         if not uniform:
             fields += [(hs, None), (tse, None)]
         if has_q:
@@ -275,9 +292,7 @@ def make_grid_sharded_sim(
             fields.append((qs, None))
         if has_excl:
             fields.append((aid_f, None))
-        ghosts = [
-            _ghost3(f, coord_axis=ca).reshape(gz * gy, gx * c) for f, ca in fields
-        ]
+        ghosts4 = [_ghost3(f, coord_axis=ca) for f, ca in fields]
 
         def center(a):  # (mz, my, mx, C) → (mz·my, C, mx)
             return a.reshape(mz * my, mx, c).transpose(0, 2, 1)
@@ -293,7 +308,20 @@ def make_grid_sharded_sim(
             cen += [center(mlj_s[..., e]) for e in range(excl_e)]
             if excl_cs:
                 cen += [center(mcs_s[..., e]) for e in range(excl_e)]
-        centers = jnp.concatenate(cen, axis=1)
+        return ghosts4, jnp.concatenate(cen, axis=1)
+
+    def _uncenter(a):  # (mz·my, C, mx) → (mz, my, mx, C)
+        return a.transpose(0, 2, 1).reshape(mz, my, mx, c)
+
+    def _local_forces_pallas(pos, hs, tse, valid, q, aid_f, aux, interpret):
+        from emdee_tpu.neighbors.pallas_cell_kernel import (
+            _const_tiles,
+            halfshell_call,
+        )
+
+        gz, gy, gx = mz + 2, my + 2, mx + 2
+        ghosts4, centers = _build_ghosts_centers(pos, hs, tse, valid, q, aid_f, aux)
+        ghosts = [g4.reshape(gz * gy, gx * c) for g4 in ghosts4]
         inputs = tuple(ghosts) + (centers,) + _const_tiles(mx, c)
         outs = halfshell_call(
             inputs, config, (mz, my, mx),
@@ -302,14 +330,53 @@ def make_grid_sharded_sim(
             excl_e=excl_e, excl_cs=excl_cs,
         )
         fx, fy, fz, react = outs[:4]
-
-        def uncenter(a):  # (mz·my, C, mx) → (mz, my, mx, C)
-            return a.transpose(0, 2, 1).reshape(mz, my, mx, c)
-
-        forces = jnp.stack([uncenter(fx), uncenter(fy), uncenter(fz)], axis=-1)
+        forces = jnp.stack([_uncenter(fx), _uncenter(fy), _uncenter(fz)], axis=-1)
         react = react.reshape(3, gz, gy, gx, c)
         rfold = jnp.stack([_fold3(react[k]) for k in range(3)], axis=-1)
         return forces + rfold
+
+    def _local_forces_streaming(pos, hs, tse, valid, q, aid_f, aux, interpret):
+        """Per-shard HBM-streaming half-shell kernel — for shards whose
+        resident working set exceeds VMEM (≳150k atoms/shard).  Same halo
+        communication; reaction rows are padded back onto the local ghost
+        grid and delivered by the same reverse halo folds."""
+        from emdee_tpu.neighbors.pallas_cell_kernel import (
+            _HS_ROW_GROUPS,
+            streaming_halfshell_call,
+        )
+
+        gz, gy, gx = mz + 2, my + 2, mx + 2
+        gxc = gx * c
+        ghosts4, centers = _build_ghosts_centers(pos, hs, tse, valid, q, aid_f, aux)
+        views = []
+        for g4 in ghosts4:
+            flat = g4.reshape(gz, gy, gxc)
+            for dz, dy in _HS_ROW_GROUPS:
+                v = jax.lax.slice(flat, (dz + 1, dy + 1, 0), (dz + 1 + mz, dy + 1 + my, gxc))
+                views.append(v.reshape(mz * my, 1, gxc))
+        outs = streaming_halfshell_call(
+            views, centers, config, (mz, my, mx),
+            compute_energy=False, interpret=interpret,
+            uniform_params=uniform_params, coulomb=cc,
+            excl_e=excl_e, excl_cs=excl_cs,
+        )
+        react_groups = outs[3:8]
+
+        def assemble(comp):
+            full = sum(
+                jnp.pad(
+                    react_groups[gi][:, comp, :].reshape(mz, my, gxc),
+                    ((dz + 1, 1 - dz), (dy + 1, 1 - dy), (0, 0)),
+                )
+                for gi, (dz, dy) in enumerate(_HS_ROW_GROUPS)
+            )
+            return _fold3(full.reshape(gz, gy, gx, c))
+
+        forces = jnp.stack(
+            [_uncenter(outs[0]) + assemble(0), _uncenter(outs[1]) + assemble(1),
+             _uncenter(outs[2]) + assemble(2)], axis=-1,
+        )
+        return forces
 
     def _local_forces_xla(pos, hs, tse, valid, q, aid_f, aux, compute_energy):
         """Portable half-shell on the ghost grid: static slices, same comm."""
@@ -443,12 +510,16 @@ def make_grid_sharded_sim(
             None if mcs_tab is None else mcs_tab[idx],
         )
 
-    if backend in ("pallas", "pallas_interpret"):
-        interp = backend == "pallas_interpret"
+    if backend in ("pallas", "pallas_interpret", "pallas_streaming", "pallas_streaming_interpret"):
+        interp = backend.endswith("interpret")
+        local_fn = (
+            _local_forces_streaming if backend.startswith("pallas_streaming")
+            else _local_forces_pallas
+        )
 
         def forces_of(pos, hs, tse, valid, q, aid, aux):
             aid_f = _aid_of(aid, valid) if has_excl else None
-            return _local_forces_pallas(pos, hs, tse, valid, q, aid_f, aux, interp)
+            return local_fn(pos, hs, tse, valid, q, aid_f, aux, interp)
     else:
 
         def forces_of(pos, hs, tse, valid, q, aid, aux):

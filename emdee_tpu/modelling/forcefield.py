@@ -113,6 +113,13 @@ class ResidueTemplate:
         order, canon = canonical_form(adj, masses)
         self.atoms: List[TemplateAtom] = [raw.atoms[i] for i in order]
         self.adjacency: np.ndarray = canon
+        # Mass sequence in canonical order, binned at 0.1 (the same bin the
+        # canonical colors use) — part of the match key, so graphs that are
+        # isomorphic but chemically different (e.g. water O–H₂ vs an NH₂
+        # cap N–H₂) never collide.
+        self.canonical_masses: tuple = tuple(
+            int(round(masses[i] / 0.1)) for i in order
+        )
         self.external_bonds: List[str] = list(raw.external_bonds)
 
     @property
@@ -131,7 +138,44 @@ def _rows(xroot, section: str, entry: str) -> List[dict]:
 class ForceField:
     """Parsed force field: typed tables + canonical residue templates."""
 
-    def __init__(self, xml_file: str):
+    def __init__(self, *xml_files: str):
+        """Parse one or more OpenMM-style force-field XMLs into one field.
+
+        Multiple files compose additively (the OpenMM ForceField(*files)
+        convention — e.g. a protein force field plus a water model): types,
+        templates and parameter rows accumulate in file order; 1-4 scaling
+        factors come from the first file that declares them and must agree
+        across files."""
+        self.atom_types = OrderedDict()
+        self.templates = OrderedDict()
+        self.bond_types = []
+        self.angle_types = []
+        self.dihedral_types = []
+        self.improper_types = []
+        self.nonbonded = {}
+        self.lj14_scale = None
+        self.coulomb14_scale = None
+        for xml_file in xml_files:
+            self._parse_one(xml_file)
+        if self.lj14_scale is None:
+            self.lj14_scale = 1.0
+        if self.coulomb14_scale is None:
+            self.coulomb14_scale = 1.0
+
+        # Canonical-adjacency index: (n, packed bits) → template names.  The
+        # reference scans every template per residue (modelling.jl:311); a
+        # 500-residue system against amber03's 113 templates is 56k dense
+        # matrix compares — hashing makes matching O(1) per residue.
+        self._template_index: Dict[tuple, List[str]] = {}
+        for name, tpl in self.templates.items():
+            key = (
+                tpl.num_atoms,
+                np.packbits(tpl.adjacency).tobytes(),
+                tpl.canonical_masses,
+            )
+            self._template_index.setdefault(key, []).append(name)
+
+    def _parse_one(self, xml_file: str):
         xroot = ET.parse(xml_file).getroot()
 
         # Patches: name → list of (operation, attributes).
@@ -142,7 +186,6 @@ class ForceField:
                     (child.tag, dict(child.attrib)) for child in patch
                 ]
 
-        self.atom_types: "OrderedDict[str, dict]" = OrderedDict()
         for row in _rows(xroot, "AtomTypes", "Type"):
             self.atom_types[row["name"]] = {
                 "class": row.get("class", ""),
@@ -151,7 +194,6 @@ class ForceField:
             }
         type_masses = {k: v["mass"] for k, v in self.atom_types.items()}
 
-        self.templates: "OrderedDict[str, ResidueTemplate]" = OrderedDict()
         for sec in xroot.findall("Residues"):
             for res_el in sec.findall("Residue"):
                 raw = _RawResidue()
@@ -191,23 +233,22 @@ class ForceField:
                 for row in rows
             ]
 
-        self.bond_types = floats(
+        self.bond_types += floats(
             _rows(xroot, "HarmonicBondForce", "Bond"), {"length", "k"}
         )
-        self.angle_types = floats(
+        self.angle_types += floats(
             _rows(xroot, "HarmonicAngleForce", "Angle"), {"angle", "k"}
         )
         torsion_float_keys = {f"phase{i}" for i in range(1, 7)} | {
             f"k{i}" for i in range(1, 7)
         }
-        self.dihedral_types = floats(
+        self.dihedral_types += floats(
             _rows(xroot, "PeriodicTorsionForce", "Proper"), torsion_float_keys
         )
-        self.improper_types = floats(
+        self.improper_types += floats(
             _rows(xroot, "PeriodicTorsionForce", "Improper"), torsion_float_keys
         )
 
-        self.nonbonded: Dict[str, dict] = {}
         scaling = {}
         for sec in xroot.findall("NonbondedForce"):
             scaling = dict(sec.attrib)
@@ -218,28 +259,39 @@ class ForceField:
                     "sigma": float(a.get("sigma", 0.0)),
                     "epsilon": float(a.get("epsilon", 0.0)),
                 }
-        self.lj14_scale = float(scaling.get("lj14scale", 1.0))
-        self.coulomb14_scale = float(scaling.get("coulomb14scale", 1.0))
-
-        # Canonical-adjacency index: (n, packed bits) → template names.  The
-        # reference scans every template per residue (modelling.jl:311); a
-        # 500-residue system against amber03's 113 templates is 56k dense
-        # matrix compares — hashing makes matching O(1) per residue.
-        self._template_index: Dict[tuple, List[str]] = {}
-        for name, tpl in self.templates.items():
-            key = (tpl.num_atoms, np.packbits(tpl.adjacency).tobytes())
-            self._template_index.setdefault(key, []).append(name)
+        if scaling:
+            lj14 = float(scaling.get("lj14scale", 1.0))
+            c14 = float(scaling.get("coulomb14scale", 1.0))
+            if self.lj14_scale is None:
+                self.lj14_scale, self.coulomb14_scale = lj14, c14
+            elif abs(lj14 - self.lj14_scale) > 1e-6 or abs(c14 - self.coulomb14_scale) > 1e-6:
+                raise ValueError(
+                    f"{xml_file}: 1-4 scaling ({lj14}, {c14}) conflicts with "
+                    f"an earlier file ({self.lj14_scale}, {self.coulomb14_scale})"
+                )
 
     def type_mass(self, type_name: str) -> float:
         return self.atom_types[type_name]["mass"]
 
     def match_template(
-        self, canonical_adjacency: np.ndarray
+        self, canonical_adjacency: np.ndarray, canonical_masses=None
     ) -> List[str]:
-        """All template names whose canonical adjacency equals the given one
-        (the modelling.jl:311 matching rule)."""
+        """All template names whose canonical (mass-colored) form equals the
+        given one (the modelling.jl:311 matching rule).  canonical_masses:
+        the residue's mass sequence in canonical order, binned at 0.1; when
+        None, matching degrades to adjacency-only (pre-mass-key behavior)."""
+        if canonical_masses is None:
+            n = canonical_adjacency.shape[0]
+            packed = np.packbits(np.asarray(canonical_adjacency, bool)).tobytes()
+            return [
+                name
+                for key, names in self._template_index.items()
+                for name in names
+                if key[0] == n and key[1] == packed
+            ]
         key = (
             canonical_adjacency.shape[0],
             np.packbits(np.asarray(canonical_adjacency, bool)).tobytes(),
+            tuple(canonical_masses),
         )
         return list(self._template_index.get(key, []))

@@ -295,7 +295,10 @@ def build_system(
             for a, b in bond_by_res[r]:
                 adj[a - s, b - s] = adj[b - s, a - s] = True
             order, canon = canonical_form(adj, masses[s:e])
-            matches = force_field.match_template(canon)
+            canon_masses = tuple(
+                int(round(masses[s + i] / 0.1)) for i in order
+            )
+            matches = force_field.match_template(canon, canon_masses)
             resname = frame.resnames[s]
             if not matches:
                 raise ValueError(

@@ -92,6 +92,48 @@ class CellDenseState(NamedTuple):
     step: jax.Array  # () int32
     overflow: jax.Array  # () bool
     charges: Optional[jax.Array] = None  # (M³, C) — molecular systems only
+    # Dynamic (NPT) box length; None → the static config.box.  Cell COUNT
+    # stays static (M is compile-time); only the box/cell SIDE breathes.
+    # Every traced consumer (binning, ghost shifts, minimum image) is pure
+    # arithmetic in the box, so a traced scalar costs nothing.
+    box: Optional[jax.Array] = None
+
+
+def _state_box(state: "CellDenseState", config: "CellDenseConfig"):
+    return jnp.float32(config.box) if state.box is None else state.box
+
+
+class CSVRConfig(NamedTuple):
+    """Bussi CSVR thermostat on the dense engine: one global velocity
+    rescale per step (dynamics/bussi.py math in slot space)."""
+
+    temperature: float
+    tau: float
+    kB: float = 1.0
+
+
+class LangevinConfig(NamedTuple):
+    """BAOAB Langevin thermostat on the dense engine (dynamics/langevin.py
+    math in slot space; the mid-step drift does NOT wrap — the engine's
+    no-wrap-between-rebins contract)."""
+
+    temperature: float
+    friction: float
+    kB: float = 1.0
+
+
+class BerendsenBarostatConfig(NamedTuple):
+    """Berendsen weak pressure coupling on the dense engine, applied at REBIN
+    boundaries: μ = (1 − (dt_block/τ)·κ·(P₀ − P))^{1/3} rescales positions
+    and the dynamic state box once per block (dynamics/npt.py's per-step
+    protocol, amortized to where the engine re-bins anyway).  Cell COUNT
+    stays static; the sticky overflow flag trips if the box shrinks past
+    M·(rc + skin) — re-derive the config via `suggest_cell_dense_config`
+    and re-init (`cell_dense_init`) to continue from there."""
+
+    pressure: float
+    tau: float
+    kappa: float = 1.0
 
 
 def suggest_cell_dense_config(
@@ -264,7 +306,8 @@ def _rebin(
     flat_pos = state.positions.reshape(ns, 3)
     valid = state.valid.reshape(ns)
 
-    s = wrap_scaled(flat_pos / config.box)
+    sbox = _state_box(state, config)
+    s = wrap_scaled(flat_pos / sbox)
     v = jnp.clip(jnp.floor(m * s).astype(jnp.int32), 0, m - 1)
     cell = v[:, 0] + m * (v[:, 1] + m * v[:, 2])
     cell = jnp.where(valid, cell, num_cells)
@@ -308,7 +351,7 @@ def _rebin(
     moved = moved.at[:, 0:3].set(
         jnp.where(
             new_valid[:, None],
-            moved[:, 0:3] - jnp.floor(moved[:, 0:3] / config.box) * config.box,
+            moved[:, 0:3] - jnp.floor(moved[:, 0:3] / sbox) * sbox,
             0.0,
         )
     )
@@ -331,13 +374,14 @@ def _rebin(
         step=state.step,
         overflow=state.overflow | overflow,
         charges=None if q_col is None else moved[:, q_col].reshape(num_cells, c),
+        box=state.box,
     )
     if forces is None:
         return new_state
     return new_state, moved[:, f_col : f_col + 3].reshape(num_cells, c, 3)
 
 
-def _route_axis_pass(fields, valid, overflow, cf, b, m, config, spill_eps, nbr):
+def _route_axis_pass(fields, valid, overflow, cf, b, m, config, spill_eps, nbr, box=None):
     """One ±1-cell routing pass along one grid axis — the core of the shift
     rebin, shared by the single-chip (`_rebin_shift`) and grid-sharded
     (`distributed.grid_sharded`) engines.
@@ -360,7 +404,7 @@ def _route_axis_pass(fields, valid, overflow, cf, b, m, config, spill_eps, nbr):
     """
     c = config.capacity
     k = 3 * c
-    box = jnp.float32(config.box)
+    box = jnp.float32(config.box) if box is None else box
     sut = jnp.asarray(np.triu(np.ones((k, k), np.float32), 1), jnp.bfloat16)
     slot_iota = jnp.arange(c, dtype=jnp.int32)
     cand_iota = jnp.arange(k, dtype=jnp.int32)
@@ -449,21 +493,31 @@ def _route_axis_pass(fields, valid, overflow, cf, b, m, config, spill_eps, nbr):
 
     # Left-shift distance per kept candidate; 0 for junk lanes.
     s = jnp.where(mask, cand_iota[None, :] - rank, 0)
-    for j in range(n_bits):
-        sh = 1 << j
-        moving = (s & sh) != 0
-        # An element arrives at lane l from lane l+2ʲ — unless the
-        # source index wrapped around the (circular) roll.
-        arrive = jnp.roll(moving, -sh, axis=1) & (cand_iota[None, :] < k - sh)
-        cand = [jnp.where(arrive, jnp.roll(f, -sh, axis=1), f) for f in cand]
-        s = jnp.where(arrive, jnp.roll(s, -sh, axis=1) - sh, s)
-        # Vacated lanes keep a stale copy of the mover; zero its shift
-        # so the duplicate never moves again (it then either gets
-        # overwritten by the true occupant's later arrival or lies
-        # beyond the kept [0, C) window).
-        s = jnp.where(moving & ~arrive, 0, s)
+    import os
 
-    fields = [f[:, :c] for f in cand]
+    if os.environ.get("EMDEE_PALLAS_COMPACT") and jax.default_backend() in ("tpu", "axon"):
+        # Experimental VMEM-resident compaction kernel — measured SLOWER
+        # than the XLA rounds on v5e (2.26 ms vs 0.90 ms/rebin at the 100k
+        # benchmark; see pallas_compact.py for the post-mortem), kept only
+        # behind this env flag for future hardware.
+        from emdee_tpu.neighbors.pallas_compact import compact_window_pallas
+
+        fields = compact_window_pallas(s, cand, c)
+    else:
+        for j in range(n_bits):
+            sh = 1 << j
+            moving = (s & sh) != 0
+            # An element arrives at lane l from lane l+2ʲ — unless the
+            # source index wrapped around the (circular) roll.
+            arrive = jnp.roll(moving, -sh, axis=1) & (cand_iota[None, :] < k - sh)
+            cand = [jnp.where(arrive, jnp.roll(f, -sh, axis=1), f) for f in cand]
+            s = jnp.where(arrive, jnp.roll(s, -sh, axis=1) - sh, s)
+            # Vacated lanes keep a stale copy of the mover; zero its shift
+            # so the duplicate never moves again (it then either gets
+            # overwritten by the true occupant's later arrival or lies
+            # beyond the kept [0, C) window).
+            s = jnp.where(moving & ~arrive, 0, s)
+        fields = [f[:, :c] for f in cand]
     valid = slot_iota[None, :] < counts[:, None]
     return fields, valid, overflow
 
@@ -507,7 +561,7 @@ def _rebin_shift(
     m, c = config.cells_per_dim, config.capacity
     nc = m**3
     k = 3 * c
-    box = jnp.float32(config.box)
+    box = _state_box(state, config)
     valid = state.valid
 
     # Wrap positions into [0, L) here (and only here), like `_rebin`.
@@ -550,7 +604,7 @@ def _rebin_shift(
         b = {2: cell_ids % m, 1: (cell_ids // m) % m, 0: cell_ids // (m * m)}[axis]
         nbr = lambda x, d, off=off: _roll_cells(x, tuple(d * o for o in off), m)
         fields, valid, overflow = _route_axis_pass(
-            fields, valid, overflow, cf, b, m, config, spill_eps, nbr
+            fields, valid, overflow, cf, b, m, config, spill_eps, nbr, box=box
         )
 
     new_pos = jnp.stack(fields[0:3], axis=-1)
@@ -571,6 +625,7 @@ def _rebin_shift(
         step=state.step,
         overflow=overflow,
         charges=None if q_col is None else zero(fields[q_col]),
+        box=state.box,
     )
     if forces is None:
         return new_state
@@ -666,6 +721,7 @@ def shrink_capacity(state: CellDenseState, config: CellDenseConfig, new_capacity
             step=state.step,
             overflow=state.overflow,
             charges=None if state.charges is None else cut(state.charges),
+            box=state.box,
         ),
         config._replace(capacity=new_capacity, spill_target=0),
     )
@@ -756,7 +812,7 @@ def cell_dense_forces(
     exclusions without masks, gathers or a correction pass.
     """
     m, c = config.cells_per_dim, config.capacity
-    box = jnp.float32(config.box)
+    box = _state_box(state, config)
     pos = state.positions
     scaled = pos / box
     hs = state.half_sigma
@@ -897,8 +953,9 @@ def cell_dense_forces(
 
 
 def _needs_rebin(state: CellDenseState, config: CellDenseConfig) -> jax.Array:
+    sbox = _state_box(state, config)
     dv = state.positions - state.ref_positions
-    dv = dv - jnp.round(dv / config.box) * config.box
+    dv = dv - jnp.round(dv / sbox) * sbox
     d2 = jnp.sum(dv * dv, axis=-1)
     d2 = jnp.where(state.valid, d2, 0.0)
     return jnp.max(d2) > (0.5 * config.skin) ** 2
@@ -926,8 +983,22 @@ def make_cell_dense_sim(
     extra_energy=None,
     uniform_mass: Optional[float] = None,
     aux_fn=None,
+    extra_aux_fn=None,
+    thermostat=None,
+    barostat=None,
 ):
-    """Build (rollout, energy) closures for slot-space NVE.
+    """Build (rollout, energy) closures for slot-space NVE/NVT.
+
+    thermostat: None (NVE), a `CSVRConfig` (Bussi stochastic velocity
+    rescaling — one global factor per step, canonical KE sampling), or a
+    `LangevinConfig` (BAOAB).  With a thermostat the rollout requires an
+    `rng` key argument and threads it through the scan.
+
+    barostat: optional `BerendsenBarostatConfig` — weak pressure coupling
+    applied once per rebin block: the state box becomes DYNAMIC
+    (state.box), positions/box rescale by μ, and the whole NPT run stays
+    one compiled program until the sticky flag says the static cell
+    geometry no longer fits the box.
 
     backend: 'xla' (portable dense rolls), 'pallas' (hand-written TPU kernel,
     pallas_cell_kernel.py), 'pallas_interpret' (kernel in interpreter mode,
@@ -951,6 +1022,11 @@ def make_cell_dense_sim(
     aux_fn(state) → slot-space exclusion tags (ids, mlj, mcs), rebuilt after
     every rebin (binning is fixed between rebins, so one gather per rebin,
     amortized) and fed to the pair pass — kernel-resident exclusions.
+
+    extra_aux_fn(state) → per-rebin bindings handed to extra_forces /
+    extra_energy as their second argument (e.g. bonded term→slot index
+    tables: slot↔atom binding only changes at rebins, so the remap is one
+    small gather per rebin instead of a per-step atom-space round trip).
     """
     if rebin == "shift":
         rebin_fn = partial(
@@ -972,10 +1048,15 @@ def make_cell_dense_sim(
             est = est * 6 // 5  # + atom-id ghost and exclusion tag rows
         if backend == "pallas" and est > 13_000_000:
             # The whole-problem-in-VMEM kernel tops out around ~150k atoms;
-            # beyond that the HBM-streaming kernel variant takes over.
+            # beyond that the HBM-streaming kernel variant takes over
+            # (half-shell + full molecular support, like the resident one).
+            import logging
+
+            logging.getLogger(__name__).info(
+                "cell-dense auto backend: VMEM estimate %.1f MB > 13 MB — "
+                "using the HBM-streaming Pallas kernel", est / 1e6,
+            )
             backend = "pallas_streaming"
-        if backend == "pallas_streaming" and (coulomb is not None or aux_fn is not None):
-            backend = "xla"  # streaming kernel is LJ-only (so far)
     if backend in ("pallas", "pallas_interpret", "pallas_streaming"):
         from emdee_tpu.neighbors.pallas_cell_kernel import (
             pallas_cell_forces,
@@ -983,21 +1064,19 @@ def make_cell_dense_sim(
         )
 
         interp = backend == "pallas_interpret"
+        cc = None
+        if coulomb is not None:
+            from emdee_tpu.potentials.coulomb import coulomb_consts
+
+            cc = coulomb_consts(coulomb)
         if backend == "pallas_streaming":
-            if coulomb is not None:
-                raise ValueError("the streaming Pallas kernel is LJ-only")
-            if aux_fn is not None:
-                raise ValueError("the streaming Pallas kernel has no exclusion tags")
+
             def forces_of_pairs(state, aux=None):
                 return pallas_cell_forces_streaming(
-                    state, model, config, uniform_params=uniform_params
+                    state, model, config,
+                    uniform_params=uniform_params, coulomb=cc, excl=aux,
                 )[0]
         else:
-            cc = None
-            if coulomb is not None:
-                from emdee_tpu.potentials.coulomb import coulomb_consts
-
-                cc = coulomb_consts(coulomb)
 
             def forces_of_pairs(state, aux=None):
                 return pallas_cell_forces(
@@ -1023,19 +1102,21 @@ def make_cell_dense_sim(
             )
 
     if extra_forces is None:
-        def forces_of(state, aux=None):
+        def forces_of(state, aux=None, eaux=None):
             return forces_of_pairs(state, aux)
     else:
 
-        def forces_of(state, aux=None):
-            return forces_of_pairs(state, aux) + extra_forces(state)
+        def forces_of(state, aux=None, eaux=None):
+            return forces_of_pairs(state, aux) + extra_forces(state, eaux)
 
     def energy_of(st: CellDenseState):
         _, e, w = energy_forces(st, aux_fn(st) if aux_fn is not None else None)
         pe = jnp.sum(jnp.where(st.valid, e, 0.0))
         vir = jnp.sum(jnp.where(st.valid, w, 0.0))
         if extra_energy is not None:
-            pe_x, vir_x = extra_energy(st)
+            pe_x, vir_x = extra_energy(
+                st, extra_aux_fn(st) if extra_aux_fn is not None else None
+            )
             pe = pe + pe_x
             vir = vir + vir_x
         ke = 0.5 * jnp.sum(
@@ -1047,7 +1128,13 @@ def make_cell_dense_sim(
         )
         return pe, vir, ke
 
-    def make_one_step(aux):
+    if thermostat is not None and not isinstance(thermostat, (CSVRConfig, LangevinConfig)):
+        raise ValueError(f"unknown thermostat {thermostat!r}")
+    if barostat is not None and config.spill:
+        raise ValueError("barostat + boundary-spill capacity mode is unsupported")
+    ndof = 3.0 * config.num_atoms - 3.0  # VV conserves the (zeroed) COM momentum
+
+    def make_one_step(aux, eaux):
         def one_step(carry, _):
             # NO PBC wrap here: the Pallas kernel computes raw (ghost-shifted)
             # differences, so a mid-block wrap would teleport a boundary-
@@ -1056,16 +1143,51 @@ def make_cell_dense_sim(
             # rebin_every).  Positions drift at most skin/2 past the box
             # faces between rebins — exactly what the ghost cells cover —
             # and are wrapped at rebin time.
-            state, forces = carry
+            state, forces, key = carry
             inv_m = state.inv_masses[..., None]
+            if isinstance(thermostat, LangevinConfig):
+                # BAOAB: kick, half drift, exact OU solve, half drift, kick.
+                kT = thermostat.kB * thermostat.temperature
+                c1 = float(np.exp(-thermostat.friction * dt))
+                c2 = float(np.sqrt((1.0 - c1 * c1) * kT))
+                v = state.velocities + (0.5 * dt_f) * forces * inv_m
+                x = state.positions + (0.5 * dt_f) * v
+                key, sub = jax.random.split(key)
+                noise = jax.random.normal(sub, v.shape, v.dtype)
+                # invalid slots: inv_m = 0 ⇒ no noise, velocities stay 0.
+                v = c1 * v + c2 * jnp.sqrt(inv_m) * noise
+                x = x + (0.5 * dt_f) * v
+                x = jnp.where(state.valid[..., None], x, state.positions)
+                state = state._replace(positions=x, velocities=v)
+                new_forces = forces_of(state, aux, eaux)
+                new_vel = v + (0.5 * dt_f) * new_forces * inv_m
+                state = state._replace(velocities=new_vel, step=state.step + 1)
+                return (state, new_forces, key), None
             v_half = state.velocities + (0.5 * dt_f) * forces * inv_m
             new_pos = state.positions + dt_f * v_half
             new_pos = jnp.where(state.valid[..., None], new_pos, state.positions)
             state = state._replace(positions=new_pos, velocities=v_half)
-            new_forces = forces_of(state, aux)
+            new_forces = forces_of(state, aux, eaux)
             new_vel = state.velocities + (0.5 * dt_f) * new_forces * state.inv_masses[..., None]
+            if isinstance(thermostat, CSVRConfig):
+                from emdee_tpu.dynamics.bussi import _csvr_alpha2
+
+                kin = 0.5 * jnp.sum(
+                    jnp.where(
+                        state.valid[..., None],
+                        new_vel**2 / jnp.maximum(state.inv_masses[..., None], 1e-30),
+                        0.0,
+                    )
+                )
+                key, sub = jax.random.split(key)
+                alpha2 = _csvr_alpha2(
+                    sub, jnp.maximum(kin, 1e-30), jnp.float32(ndof),
+                    jnp.float32(thermostat.kB * thermostat.temperature),
+                    dt_f, jnp.float32(thermostat.tau), jnp.float32,
+                )
+                new_vel = jnp.sqrt(jnp.maximum(alpha2, 0.0)) * new_vel
             state = state._replace(velocities=new_vel, step=state.step + 1)
-            return (state, new_forces), None
+            return (state, new_forces, key), None
 
         return one_step
 
@@ -1075,6 +1197,7 @@ def make_cell_dense_sim(
         num_steps: int,
         rebin_every: int = 10,
         record: bool = False,
+        rng=None,
     ):
         """Blocked NVE rollout: rebin unconditionally every `rebin_every`
         steps, then scan that many plain steps.
@@ -1098,23 +1221,53 @@ def make_cell_dense_sim(
 
         def block_of(length):
             def block(carry, _):
-                st, f = carry
+                st, f, key = carry
+                if barostat is not None:
+                    # Berendsen μ-rescale at the block boundary (forces carry
+                    # over unrescaled — the same weak-coupling approximation
+                    # as the per-step protocol, amortized to rebin cadence).
+                    pe, vir, ke = energy_of(st)
+                    boxv = _state_box(st, config)
+                    p_inst = (2.0 * ke + vir) / (3.0 * boxv**3)
+                    mu3 = 1.0 - (length * dt / barostat.tau) * barostat.kappa * (
+                        barostat.pressure - p_inst
+                    )
+                    mu = jnp.clip(mu3, 0.9, 1.1) ** (1.0 / 3.0)
+                    new_box = boxv * mu
+                    st = st._replace(
+                        positions=st.positions * mu,
+                        ref_positions=st.ref_positions * mu,
+                        box=new_box,
+                        overflow=st.overflow
+                        | (new_box < config.cells_per_dim * (config.cutoff + config.skin)),
+                    )
                 # The permutation carries the current forces along, so no
                 # extra force evaluation is needed after a rebin.
                 st, f = rebin_fn(st, config, forces=f)
                 aux = aux_fn(st) if aux_fn is not None else None
-                (st, f), _ = jax.lax.scan(
-                    make_one_step(aux), (st, f), None, length=length
+                eaux = extra_aux_fn(st) if extra_aux_fn is not None else None
+                (st, f, key), _ = jax.lax.scan(
+                    make_one_step(aux, eaux), (st, f, key), None, length=length
                 )
                 # Staleness check: the block's steps ran on the bins made at
                 # the block start; flag if skin/2 displacement was violated.
                 st = st._replace(overflow=st.overflow | _needs_rebin(st, config))
-                return (st, f), (observables(st) if record else None)
+                return (st, f, key), (observables(st) if record else None)
 
             return block
 
-        f0 = forces_of(state, aux_fn(state) if aux_fn is not None else None)
-        carry = (state, f0)
+        if thermostat is not None and rng is None:
+            raise ValueError("a thermostatted rollout needs an rng key")
+        if rng is None:
+            rng = jax.random.PRNGKey(0)  # unused by the NVE step
+        if barostat is not None and state.box is None:
+            state = state._replace(box=jnp.float32(config.box))
+        f0 = forces_of(
+            state,
+            aux_fn(state) if aux_fn is not None else None,
+            extra_aux_fn(state) if extra_aux_fn is not None else None,
+        )
+        carry = (state, f0, rng)
         records = None
         if blocks:
             carry, records = jax.lax.scan(

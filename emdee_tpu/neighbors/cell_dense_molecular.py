@@ -40,6 +40,7 @@ from emdee_tpu.core.types import ENERGIES, FORCES, VIRIALS, NonbondedOutput
 from emdee_tpu.neighbors.cell_dense import (
     CellDenseConfig,
     CellDenseState,
+    _state_box,
     cell_dense_init,
     make_cell_dense_sim,
     suggest_cell_dense_config,
@@ -48,25 +49,41 @@ from emdee_tpu.neighbors.neighbor_force import apply_exclusion_corrections
 from emdee_tpu.potentials.lennard_jones import LennardJonesModel
 
 
-def build_exclusion_tables(num_atoms, pairs, lj_scales, coulomb_scales=None, pad_e=None):
+def build_exclusion_tables(
+    num_atoms, pairs, lj_scales, coulomb_scales=None, pad_e=None, band_e=None
+):
     """(N+1, E) atom-indexed exclusion tag tables (host-side, numpy).
 
     Row i lists atom i's exclusion partners as f32 ids (−1 pad) with the
     1−scale weights the kernel subtracts per matching pair.  Row N is the
     all-pad row indexed by invalid slots.  E = max partners per atom
     (`pad_e` to force a wider static width).
-    """
+
+    band_e: cap the kernel tag width (the pair pass costs ~3E VPU ops/pair,
+    so protein-scale E≈16-24 would triple the hot loop).  A pair stays
+    in-band only if BOTH atoms' rows have space (the kernel checks whichever
+    atom lands as the pair's center); the remainder is returned as leftover
+    (pairs, lj_scales, coulomb_scales) for the slot-space correction term.
+    With band_e set the return is ((ids, mlj, mcs), leftover)."""
     pairs = np.asarray(pairs)
     lj_scales = np.asarray(lj_scales, np.float32)
     cs = None if coulomb_scales is None else np.asarray(coulomb_scales, np.float32)
     n = num_atoms
     partners = [[] for _ in range(n)]
+    leftover = []
+    counts = np.zeros(n, np.int64)
     for k in range(len(pairs)):
         i, j = int(pairs[k, 0]), int(pairs[k, 1])
         if i >= n or j >= n:
             continue  # padding rows
-        partners[i].append((j, lj_scales[k], None if cs is None else cs[k]))
-        partners[j].append((i, lj_scales[k], None if cs is None else cs[k]))
+        s_c = None if cs is None else cs[k]
+        if band_e is not None and (counts[i] >= band_e or counts[j] >= band_e):
+            leftover.append((i, j, lj_scales[k], 0.0 if s_c is None else s_c))
+            continue
+        partners[i].append((j, lj_scales[k], s_c))
+        partners[j].append((i, lj_scales[k], s_c))
+        counts[i] += 1
+        counts[j] += 1
     e_n = max((len(p) for p in partners), default=0)
     e_n = max(e_n, 1)
     if pad_e is not None:
@@ -82,11 +99,22 @@ def build_exclusion_tables(num_atoms, pairs, lj_scales, coulomb_scales=None, pad
             mlj[i, e] = 1.0 - s_lj
             if mcs is not None:
                 mcs[i, e] = 1.0 - s_c
-    return (
+    tabs = (
         jnp.asarray(ids),
         jnp.asarray(mlj),
         None if mcs is None else jnp.asarray(mcs),
     )
+    if band_e is None:
+        return tabs
+    if leftover:
+        lo = np.asarray([(i, j) for i, j, _, _ in leftover], np.int32)
+        lo_lj = np.asarray([s for _, _, s, _ in leftover], np.float32)
+        lo_cs = None if cs is None else np.asarray([s for _, _, _, s in leftover], np.float32)
+    else:
+        lo, lo_lj, lo_cs = np.zeros((0, 2), np.int32), np.zeros(0, np.float32), (
+            None if cs is None else np.zeros(0, np.float32)
+        )
+    return tabs, (lo, lo_lj, lo_cs)
 
 
 def make_exclusion_aux_fn(num_atoms, ids_tab, mlj_tab, mcs_tab):
@@ -106,6 +134,75 @@ def make_exclusion_aux_fn(num_atoms, ids_tab, mlj_tab, mcs_tab):
         )
 
     return aux_fn
+
+
+def make_slot_pair_correction(
+    num_atoms, pairs, lj_scales, coulomb_scales, model, params, coulomb, charges
+):
+    """Slot-space −(1−s)·(LJ [+ DSF]) correction for exclusion pairs beyond
+    the kernel tag band.
+
+    Like the bonded terms, the per-pair atom indices are remapped to SLOT
+    indices once per rebin; every step then gathers only the P pair rows and
+    scatter-adds their forces — no full-N atom-space round trip.  Per-pair
+    LJ parameters and charge products are static (precomputed host-side).
+
+    Returns (bind, force, energy_virial):
+      bind(atom_slot) → (P, 2) slot indices;
+      force(pos_ext, slot_ij, box) → (ns+1, 3) correction forces;
+      energy_virial(pos_ext, slot_ij, box) → (pe, vir) scalars.
+    """
+    from emdee_tpu.core.pbc import minimum_image
+    from emdee_tpu.potentials.lennard_jones import pair_interaction
+
+    pairs_np = np.asarray(pairs, np.int64)
+    pi, pj = pairs_np[:, 0], pairs_np[:, 1]
+    hs = np.asarray(params.half_sigma, np.float32)
+    tse = np.asarray(params.twice_sqrt_eps, np.float32)
+    hs_i, tse_i = jnp.asarray(hs[pi]), jnp.asarray(tse[pi])
+    hs_j, tse_j = jnp.asarray(hs[pj]), jnp.asarray(tse[pj])
+    w_lj = jnp.asarray(1.0 - np.asarray(lj_scales, np.float32))
+    pairs_j = jnp.asarray(pairs_np, jnp.int32)
+    has_q = coulomb is not None and charges is not None
+    if has_q:
+        q_np = np.asarray(charges, np.float32)
+        qi, qj = jnp.asarray(q_np[pi]), jnp.asarray(q_np[pj])
+        cs = (
+            np.asarray(coulomb_scales, np.float32)
+            if coulomb_scales is not None
+            else np.asarray(lj_scales, np.float32)
+        )
+        w_c = jnp.asarray(1.0 - cs)
+
+    def bind(atom_slot):
+        return atom_slot[pairs_j]
+
+    def _terms(pos_ext, slot_ij, box):
+        i, j = slot_ij[:, 0], slot_ij[:, 1]
+        dv = box * minimum_image((pos_ext[i] - pos_ext[j]) / box)
+        r2 = jnp.sum(dv * dv, axis=-1)
+        e, mre = pair_interaction(r2, model, hs_i, tse_i, hs_j, tse_j)
+        e = w_lj * e
+        mre = w_lj * mre
+        if has_q:
+            from emdee_tpu.potentials.coulomb import coulomb_interaction
+
+            e_c, mre_c = coulomb_interaction(r2, coulomb, qi, qj)
+            e = e + w_c * e_c
+            mre = mre + w_c * mre_c
+        return i, j, dv, r2, e, mre
+
+    def force(pos_ext, slot_ij, box):
+        i, j, dv, r2, _, mre = _terms(pos_ext, slot_ij, box)
+        f_ij = (mre / jnp.maximum(r2, 1e-30))[:, None] * dv
+        f = jnp.zeros_like(pos_ext)
+        return f.at[i].add(-f_ij).at[j].add(f_ij)
+
+    def energy_virial(pos_ext, slot_ij, box):
+        _, _, _, _, e, mre = _terms(pos_ext, slot_ij, box)
+        return -jnp.sum(e), -jnp.sum(mre)
+
+    return bind, force, energy_virial
 
 
 def slots_to_atoms(state: CellDenseState, num_atoms: int):
@@ -137,6 +234,7 @@ def make_molecular_dense_sim(
     backend: str = "auto",
     rebin: str = "shift",
     exclusion_mode: str = "kernel",
+    exclusion_band: Optional[int] = None,
 ):
     """(rollout, energy) closures for a molecular system in slot space.
 
@@ -153,8 +251,14 @@ def make_molecular_dense_sim(
                      (scatter → `apply_exclusion_corrections` → gather);
                      the portable reference implementation.
 
-    Note: the reported virial covers pair terms and exclusion terms; bonded
-    terms contribute energy and forces but not (yet) virial.
+    exclusion_band: cap the kernel tag width E (pair-pass cost ~3E ops/pair;
+    protein-scale E≈16-24 would triple the hot loop).  Pairs beyond the band
+    are evaluated by a slot-space correction term (per-rebin slot bindings,
+    per-pair gathers — no full-N round trip).  None = all pairs in-kernel.
+
+    Note: the reported virial covers pair, exclusion AND bonded terms (bond
+    stretches; angle/torsion terms are scale-invariant and contribute
+    exactly zero to the isotropic virial).
     """
     if exclusion_mode not in ("kernel", "correction"):
         raise ValueError(f"unknown exclusion_mode {exclusion_mode!r}")
@@ -178,31 +282,86 @@ def make_molecular_dense_sim(
                 if exclusion_scales_coulomb is not None
                 else exclusion_scales
             )
-        tabs = build_exclusion_tables(
-            num_atoms, exclusion_pairs, exclusion_scales, cs_for_tables,
-        )
+        leftover = None
+        if exclusion_band is not None:
+            tabs, leftover = build_exclusion_tables(
+                num_atoms, exclusion_pairs, exclusion_scales, cs_for_tables,
+                band_e=exclusion_band,
+            )
+            if leftover[0].shape[0] == 0:
+                leftover = None
+        else:
+            tabs = build_exclusion_tables(
+                num_atoms, exclusion_pairs, exclusion_scales, cs_for_tables,
+            )
         aux_fn = make_exclusion_aux_fn(num_atoms, *tabs)
+        corr = None
+        if leftover is not None:
+            corr = make_slot_pair_correction(
+                num_atoms, *leftover, model, params, coulomb, q_at,
+            )
 
-        extra_forces = None
-        if bonded is not None:
+        extra_forces = extra_energy = extra_aux_fn = None
+        if bonded is not None or corr is not None:
+            # Slot-space bonded terms: the per-term atom indices are remapped
+            # to SLOT indices once per rebin (`extra_aux_fn`), so every step
+            # evaluates bonds/angles/torsions directly on the slot-layout
+            # positions — per-term gathers/scatter-adds only, no full-N
+            # atom-space scatter/gather round trip (measured ~2 ms/step at
+            # 100k atoms on TPU).
+            ns = config.num_slots
 
-            def extra_forces(state):
-                pos_at, ids = slots_to_atoms(state, num_atoms)
-                f_at = bonded_force(pos_at, box)
-                f_ext = jnp.concatenate([f_at, jnp.zeros((1, 3), f_at.dtype)], axis=0)
-                return f_ext[ids].reshape(state.positions.shape)
+            def extra_aux_fn(state):
+                ids = jnp.where(state.valid, state.atom_id, num_atoms).reshape(-1)
+                atom_slot = (
+                    jnp.full((num_atoms + 1,), ns, jnp.int32)
+                    .at[ids]
+                    .set(jnp.arange(ns, dtype=jnp.int32))
+                )
+                # Invalid slots all target the pad row; whatever index lands
+                # there only feeds `valid=False` terms, whose energy (and
+                # therefore gradient) is select-masked to zero.
+                return (
+                    bonded.remap(atom_slot) if bonded is not None else None,
+                    corr[0](atom_slot) if corr is not None else None,
+                )
 
-        extra_energy = None
-        if bonded is not None:
+            def _pos_ext(state):
+                return jnp.concatenate(
+                    [state.positions.reshape(-1, 3), jnp.zeros((1, 3), jnp.float32)],
+                    axis=0,
+                )
 
-            def extra_energy(state):
-                pos_at, _ = slots_to_atoms(state, num_atoms)
-                zero = jnp.float32(0.0)
-                return bonded.energy(pos_at, box), zero
+            def extra_forces(state, eaux):
+                btabs, cbind = eaux
+                pos = _pos_ext(state)
+                b = _state_box(state, config)
+                f = jnp.zeros_like(pos)
+                if btabs is not None:
+                    f = f - jax.grad(lambda p: btabs.energy(p, b))(pos)
+                if cbind is not None:
+                    f = f + corr[1](pos, cbind, b)
+                return f[:-1].reshape(state.positions.shape)
+
+            def extra_energy(state, eaux):
+                btabs, cbind = eaux
+                pos = _pos_ext(state)
+                b = _state_box(state, config)
+                pe = jnp.float32(0.0)
+                vir = jnp.float32(0.0)
+                if btabs is not None:
+                    pe = pe + btabs.energy(pos, b)
+                    vir = vir + btabs.virial(pos, b)
+                if cbind is not None:
+                    pe_c, vir_c = corr[2](pos, cbind, b)
+                    pe = pe + pe_c
+                    vir = vir + vir_c
+                return pe, vir
 
         return make_cell_dense_sim(
             config, model, dt, backend=backend, rebin=rebin, coulomb=coulomb,
             extra_forces=extra_forces, extra_energy=extra_energy, aux_fn=aux_fn,
+            extra_aux_fn=extra_aux_fn,
         )
 
     def corrections_at(pos_at, outputs):
@@ -224,7 +383,7 @@ def make_molecular_dense_sim(
     extra_forces = None
     if has_excl or bonded is not None:
 
-        def extra_forces(state):
+        def extra_forces(state, eaux=None):
             pos_at, ids = slots_to_atoms(state, num_atoms)
             f_at = corrections_at(pos_at, FORCES).forces
             if bonded_force is not None:
@@ -235,13 +394,14 @@ def make_molecular_dense_sim(
     extra_energy = None
     if has_excl or bonded is not None:
 
-        def extra_energy(state):
+        def extra_energy(state, eaux=None):
             pos_at, _ = slots_to_atoms(state, num_atoms)
             out = corrections_at(pos_at, ENERGIES | VIRIALS)
             pe = jnp.sum(out.energies)
             vir = jnp.sum(out.virials)
             if bonded is not None:
                 pe = pe + bonded.energy(pos_at, box)
+                vir = vir + bonded.virial(pos_at, box)
             return pe, vir
 
     return make_cell_dense_sim(
@@ -265,8 +425,15 @@ def dense_sim_from_system(
     spill: bool = False,
     velocities=None,
     exclusion_mode: str = "kernel",
+    exclusion_band="auto",
 ):
     """One-call System → dense-engine simulation.
+
+    exclusion_band="auto" caps the kernel tag width at 4 when the system's
+    natural width exceeds 8 (protein-scale E would both blow the ~3E-ops/pair
+    hot-loop cost and the kernel's VMEM center expansion, which carries 3E·C
+    tag rows); the remainder runs through the slot-space pair correction.
+    Pass None to force everything in-kernel, or an int to pick the band.
 
     Returns (state, rollout, energy, config).  Uses Å/amu/e units with
     kC = 1389.35456 (kJ/mol·Å·e²) so energies come out in kJ/mol when the
@@ -296,6 +463,21 @@ def dense_sim_from_system(
     )
     bonded = build_bonded_system(system, length_scale=length_scale) if with_bonded else None
 
+    if exclusion_band == "auto":
+        exclusion_band = None
+        if exclusion_mode == "kernel" and len(pairs):
+            tabs_probe = build_exclusion_tables(n, pairs, lj_s)
+            e_nat = int(tabs_probe[0].shape[-1])
+            if e_nat > 8:
+                exclusion_band = 4
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "exclusion width E=%d > 8: capping kernel tags at band=4, "
+                    "%s pairs via the slot-space correction", e_nat,
+                    "remaining",
+                )
+
     vel = velocities if velocities is not None else system.velocities
     state = cell_dense_init(
         np.asarray(system.positions, np.float32),
@@ -316,5 +498,6 @@ def dense_sim_from_system(
         bonded=bonded,
         backend=backend,
         exclusion_mode=exclusion_mode,
+        exclusion_band=exclusion_band,
     )
     return state, rollout, energy, config

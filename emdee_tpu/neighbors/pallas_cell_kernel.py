@@ -45,7 +45,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from emdee_tpu.neighbors.cell_dense import CellDenseConfig, CellDenseState
+from emdee_tpu.neighbors.cell_dense import CellDenseConfig, CellDenseState, _state_box
 from emdee_tpu.potentials.lennard_jones import LennardJonesModel
 
 # Half-shell offsets (vz, vy, vx) lexicographically positive — each cross-cell
@@ -192,10 +192,11 @@ def _prep_inputs(
     g = m + 2
     pos = _sentinel_positions(state, config)
     grid = lambda a: a.reshape(m, m, m, c)
+    sbox = _state_box(state, config)
 
-    gx = _ghost(grid(pos[..., 0]), m, axis_shift=2, box=config.box).reshape(g * g, g * c)
-    gy = _ghost(grid(pos[..., 1]), m, axis_shift=1, box=config.box).reshape(g * g, g * c)
-    gz = _ghost(grid(pos[..., 2]), m, axis_shift=0, box=config.box).reshape(g * g, g * c)
+    gx = _ghost(grid(pos[..., 0]), m, axis_shift=2, box=sbox).reshape(g * g, g * c)
+    gy = _ghost(grid(pos[..., 1]), m, axis_shift=1, box=sbox).reshape(g * g, g * c)
+    gz = _ghost(grid(pos[..., 2]), m, axis_shift=0, box=sbox).reshape(g * g, g * c)
 
     # Centers as one stacked (M², n·C, M) array: one (nC, M) pencil block per
     # kernel program — Mosaic forbids dynamic lane-slicing at non-128 offsets
@@ -257,6 +258,192 @@ _ERFC_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
 _TWO_OVER_SQRT_PI = 1.1283791670955126
 
 
+def _unpack_centers(cen_all, c, uniform, has_q, excl_e, excl_cs):
+    """Slice the batched (n·C, M·C) center expansion into named tiles."""
+    cen = {"x": cen_all[0:c], "y": cen_all[c : 2 * c], "z": cen_all[2 * c : 3 * c]}
+    nxt = 3 * c
+    if not uniform:
+        cen["hs"] = cen_all[nxt : nxt + c]
+        cen["tse"] = cen_all[nxt + c : nxt + 2 * c]
+        nxt += 2 * c
+    if has_q:
+        cen["q"] = cen_all[nxt : nxt + c]
+        nxt += c
+    if excl_e:
+        cen["eids"] = [cen_all[nxt + e * c : nxt + (e + 1) * c] for e in range(excl_e)]
+        nxt += excl_e * c
+        cen["mlj"] = [cen_all[nxt + e * c : nxt + (e + 1) * c] for e in range(excl_e)]
+        nxt += excl_e * c
+        if excl_cs:
+            cen["mcs"] = [
+                cen_all[nxt + e * c : nxt + (e + 1) * c] for e in range(excl_e)
+            ]
+            nxt += excl_e * c
+    return cen
+
+
+def _build_pair_pass(
+    *,
+    c,
+    mc,
+    gc,
+    rs2,
+    invd2,
+    n_newton,
+    interpret,
+    compute_energy,
+    uniform_params,
+    coulomb,
+    excl_e,
+    excl_cs,
+    is_self,
+    load,
+    cen,
+):
+    """Shared pair-pass builder for the VMEM-resident and HBM-streaming
+    kernels — ONE copy of the hot pair math, parameterized over how neighbor
+    rows are fetched.
+
+    load(name, dz, dy, win) → (1, mc) lane-window of ghost field `name`
+    ('x'/'y'/'z'/'hs'/'tse'/'q'/'aid') at row offset (dz, dy); cen: dict of
+    (C, M·C) expanded center tiles (`_unpack_centers`); is_self: (C, M·C)
+    0/1 same-slot diagonal tile (materialized value, not a ref).
+
+    Returns pair_pass(dz, dy, dx, self_pass, acc) → (acc, reaction):
+    reaction is None on the self-inclusive pass, else a tuple of (1, gc)
+    full-row padded Newton-reaction rows (fx, fy, fz[, e, w])."""
+    a_m = 60.0 * invd2 * rs2  # mrg(x) linear coefficient: 60·rs²/(rc²−rs²)
+    uniform = uniform_params is not None
+    if uniform:
+        hs_u, tse_u = uniform_params
+        sig2_u = float((2.0 * hs_u) ** 2)  # σᵢⱼ² for identical atoms
+        eps4_u = float(tse_u * tse_u)  # 4εᵢⱼ
+    if coulomb is not None:
+        cl_alpha, cl_rc, cl_eshift, cl_fshift, _cl_kc = coulomb
+        cl_alpha2 = cl_alpha * cl_alpha
+        cl_rc2 = cl_rc * cl_rc
+        cl_gauss = _TWO_OVER_SQRT_PI * cl_alpha
+
+    def pair_pass(dz, dy, dx, self_pass, acc):
+        fx_a, fy_a, fz_a, e_a, w_a = acc
+        win = (dx + 1) * c
+        nx = load("x", dz, dy, win)
+        ny = load("y", dz, dy, win)
+        nz = load("z", dz, dy, win)
+
+        dvx = cen["x"] - nx
+        dvy = cen["y"] - ny
+        dvz = cen["z"] - nz
+        r2 = dvx * dvx + dvy * dvy + dvz * dvz
+        if self_pass:
+            r2 = r2 + is_self
+        # Approximate reciprocal + device-gated Newton refinement: one step
+        # on generations whose VRCP seed is measured (~2⁻¹⁶ on v5e →
+        # 2⁻²²·⁷, f32-ulp-limited), two on unknown generations
+        # (_recip_newton_steps).
+        rinv = _recip(r2, interpret, n_newton)
+        if uniform:
+            s2 = sig2_u * rinv
+            s6 = s2 * s2 * s2
+            t6 = eps4_u * s6  # 4ε·s⁻⁶
+        else:
+            nhs = load("hs", dz, dy, win)
+            ntse = load("tse", dz, dy, win)
+            sig = cen["hs"] + nhs
+            s2 = sig * sig * rinv
+            s6 = s2 * s2 * s2
+            t6 = (cen["tse"] * ntse) * s6
+        if self_pass:
+            t6 = t6 * (1.0 - is_self)
+        csc = None
+        if excl_e:
+            # Kernel-resident exclusions: compare the neighbor's atom id
+            # against the center's E tag ids (exact integers in f32) and
+            # scale the pair terms — no masks, no gathers, no correction
+            # pass (~3E VPU ops/pair instead of a 4+ ms atom-space round
+            # trip at 100k atoms).
+            naid = load("aid", dz, dy, win)
+            ljsc = 1.0
+            csc = 1.0 if excl_cs else None
+            for e_i in range(excl_e):
+                match = (cen["eids"][e_i] == naid).astype(jnp.float32)
+                ljsc = ljsc - match * cen["mlj"][e_i]
+                if excl_cs:
+                    csc = csc - match * cen["mcs"][e_i]
+            t6 = t6 * ljsc
+        t12 = t6 * s6  # 4ε·s⁻¹²
+        x = jnp.clip((r2 - rs2) * invd2, 0.0, 1.0)
+        # Switched −r·dE/dr as tot = t12·A(x) − t6·B(x).  A = 12·gsw+mrg
+        # and B = 6·gsw+mrg are STATIC degree-5 polynomials in the
+        # clipped x: mrg's r² factor equals rs2 + (rc²−rs²)·x wherever
+        # mrg ≠ 0 (its x² and (1−x)² factors zero it at both clip
+        # boundaries), so the whole switch reduces to two Horner chains —
+        # ~5 fewer VPU ops/pair than gsw/mrg/u1 assembly (verified exact
+        # to f64 roundoff against the expanded form).
+        pa = ((((-12.0 * x + (a_m + 60.0)) * x - (60.0 + 2.0 * a_m)) * x + a_m) * x) * x + 12.0
+        pb = ((((24.0 * x + (a_m - 30.0)) * x - 2.0 * a_m) * x + a_m) * x) * x + 6.0
+        tot = t12 * pa - t6 * pb  # switched −r·dE/dr
+        e_c = None
+        if coulomb is not None:
+            # DSF Coulomb (potentials/coulomb.py), Mosaic-friendly: erfc
+            # via Abramowitz–Stegun 7.1.26 (err ≤ 1.5e-7) and exp — no
+            # erf primitive needed.  Charges arrive pre-scaled by √kc.
+            nq = load("q", dz, dy, win)
+            qq = cen["q"] * nq
+            if self_pass:
+                qq = qq * (1.0 - is_self)
+            if excl_e and csc is not None:
+                qq = qq * csc
+            rs_inv = jnp.sqrt(rinv)  # 1/r (rinv is full-accuracy 1/r²)
+            r = r2 * rs_inv
+            ex = jnp.exp(-cl_alpha2 * r2)
+            tden = 1.0 + (_ERFC_P * cl_alpha) * r
+            t = _recip(tden, interpret, n_newton)
+            a1, a2, a3, a4, a5 = _ERFC_A
+            erfc_ar = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5)))) * ex
+            g_r = erfc_ar * rinv + (cl_gauss * ex) * rs_inv
+            inside = (r2 < cl_rc2).astype(jnp.float32)
+            mre_c = (qq * inside) * (r * (g_r - cl_fshift))
+            tot = tot + mre_c
+            if compute_energy:
+                e_c = (qq * inside) * (
+                    erfc_ar * rs_inv - cl_eshift + cl_fshift * (r - cl_rc)
+                )
+        gf = tot * rinv
+        gfx = gf * dvx
+        gfy = gf * dvy
+        gfz = gf * dvz
+
+        # Accumulate full pair tiles; ONE batched segment reduction at the
+        # end of the program (MXU dispatches are latency-bound).
+        fx_a += gfx
+        fy_a += gfy
+        fz_a += gfz
+        if compute_energy:
+            gsw = 1.0 + (x * x * x) * ((-6.0 * x + 15.0) * x - 10.0)
+            esw = (t12 - t6) * gsw
+            if e_c is not None:
+                esw = esw + e_c
+            e_a += 0.5 * esw
+            w_a += 0.5 * tot
+        reaction = None
+        if not self_pass:
+            # Newton reaction sums over the center axis, padded out to the
+            # full ghost row at this dx's lane window (full-row writes are
+            # aligned; per-window RMWs would each pay lane rotations).
+            def row_pad(t):
+                return jnp.pad(
+                    -jnp.sum(t, axis=0, keepdims=True), ((0, 0), (win, gc - win - mc))
+                )
+
+            reaction = (row_pad(gfx), row_pad(gfy), row_pad(gfz))
+            if compute_energy:
+                reaction += (row_pad(-0.5 * esw), row_pad(-0.5 * tot))
+        return (fx_a, fy_a, fz_a, e_a, w_a), reaction
+
+    return pair_pass
+
+
 def _make_kernel(
     config: CellDenseConfig,
     model_consts,
@@ -282,15 +469,6 @@ def _make_kernel(
     rs2, invd2 = model_consts
     n_newton = _newton_steps()
     uniform = uniform_params is not None
-    if uniform:
-        hs_u, tse_u = uniform_params
-        sig2_u = float((2.0 * hs_u) ** 2)  # σᵢⱼ² for identical atoms
-        eps4_u = float(tse_u * tse_u)  # 4εᵢⱼ
-    if coulomb is not None:
-        cl_alpha, cl_rc, cl_eshift, cl_fshift, _cl_kc = coulomb
-        cl_alpha2 = cl_alpha * cl_alpha
-        cl_rc2 = cl_rc * cl_rc
-        cl_gauss = _TWO_OVER_SQRT_PI * cl_alpha
 
     def kernel(*refs):
         # Input order: coords [+ params] [+ charges] [+ atom ids] + centers
@@ -349,144 +527,27 @@ def _make_kernel(
             return out
 
         cen_all = mm(centers[0], expand[...])  # one batched expansion: (nC, M·C)
-        cenx = cen_all[0:c]
-        ceny = cen_all[c : 2 * c]
-        cenz = cen_all[2 * c : 3 * c]
-        nxt = 3 * c
+        cen = _unpack_centers(cen_all, c, uniform, coulomb is not None, excl_e, excl_cs)
+        ghost_by_name = {"x": gx, "y": gy, "z": gz}
         if not uniform:
-            cenhs = cen_all[nxt : nxt + c]
-            centse = cen_all[nxt + c : nxt + 2 * c]
-            nxt += 2 * c
+            ghost_by_name["hs"] = ghs
+            ghost_by_name["tse"] = gtse
         if coulomb is not None:
-            cenq = cen_all[nxt : nxt + c]
-            nxt += c
+            ghost_by_name["q"] = gq
         if excl_e:
-            cen_eids = [cen_all[nxt + e * c : nxt + (e + 1) * c] for e in range(excl_e)]
-            nxt += excl_e * c
-            cen_mlj = [cen_all[nxt + e * c : nxt + (e + 1) * c] for e in range(excl_e)]
-            nxt += excl_e * c
-            if excl_cs:
-                cen_mcs = [
-                    cen_all[nxt + e * c : nxt + (e + 1) * c] for e in range(excl_e)
-                ]
-                nxt += excl_e * c
+            ghost_by_name["aid"] = gaid
 
-        def pair_pass(dz, dy, dx, self_pass, acc):
-            fx_a, fy_a, fz_a, e_a, w_a = acc
+        def load(name, dz, dy, win):
             row = (cz + dz + 1) * gy_n + (cy + dy + 1)
-            win = (dx + 1) * c
-            nx = gx[pl.ds(row, 1), pl.ds(win, mc)]
-            ny = gy[pl.ds(row, 1), pl.ds(win, mc)]
-            nz = gz[pl.ds(row, 1), pl.ds(win, mc)]
+            return ghost_by_name[name][pl.ds(row, 1), pl.ds(win, mc)]
 
-            dvx = cenx - nx
-            dvy = ceny - ny
-            dvz = cenz - nz
-            r2 = dvx * dvx + dvy * dvy + dvz * dvz
-            if self_pass:
-                r2 = r2 + is_self[...]
-            # Approximate reciprocal + device-gated Newton refinement: one
-            # step on generations whose VRCP seed is measured (~2⁻¹⁶ on v5e →
-            # 2⁻²²·⁷, f32-ulp-limited), two on unknown generations
-            # (_recip_newton_steps).
-            rinv = _recip(r2, interpret, n_newton)
-            if uniform:
-                s2 = sig2_u * rinv
-                s6 = s2 * s2 * s2
-                t6 = eps4_u * s6  # 4ε·s⁻⁶
-            else:
-                nhs = ghs[pl.ds(row, 1), pl.ds(win, mc)]
-                ntse = gtse[pl.ds(row, 1), pl.ds(win, mc)]
-                sig = cenhs + nhs
-                s2 = sig * sig * rinv
-                s6 = s2 * s2 * s2
-                t6 = (centse * ntse) * s6
-            if self_pass:
-                t6 = t6 * (1.0 - is_self[...])
-            csc = None
-            if excl_e:
-                # Kernel-resident exclusions: compare the neighbor's atom id
-                # against the center's E tag ids (exact integers in f32) and
-                # scale the pair terms — no masks, no gathers, no correction
-                # pass (~3E VPU ops/pair instead of a 4+ ms atom-space round
-                # trip at 100k atoms).
-                naid = gaid[pl.ds(row, 1), pl.ds(win, mc)]
-                ljsc = 1.0
-                csc = 1.0 if excl_cs else None
-                for e_i in range(excl_e):
-                    match = (cen_eids[e_i] == naid).astype(jnp.float32)
-                    ljsc = ljsc - match * cen_mlj[e_i]
-                    if excl_cs:
-                        csc = csc - match * cen_mcs[e_i]
-                t6 = t6 * ljsc
-            t12 = t6 * s6  # 4ε·s⁻¹²
-            x = jnp.clip((r2 - rs2) * invd2, 0.0, 1.0)
-            x2 = x * x
-            x3 = x2 * x
-            gsw = 1.0 + x3 * (15.0 * x - 6.0 * x2 - 10.0)
-            one_m_x = 1.0 - x
-            mrg = ((60.0 * invd2) * x2) * (one_m_x * one_m_x) * r2
-            # tot = mrE·gsw + energy·mrg with mrE = 12t12−6t6, E = t12−t6,
-            # refactored as t12·(12gsw+mrg) − t6·(6gsw+mrg) — one op fewer
-            # and fma-shaped.
-            u1 = 6.0 * gsw + mrg
-            tot = t12 * (u1 + 6.0 * gsw) - t6 * u1  # switched −r·dE/dr
-            e_c = None
-            if coulomb is not None:
-                # DSF Coulomb (potentials/coulomb.py), Mosaic-friendly: erfc
-                # via Abramowitz–Stegun 7.1.26 (err ≤ 1.5e-7) and exp — no
-                # erf primitive needed.  Charges arrive pre-scaled by √kc.
-                nq = gq[pl.ds(row, 1), pl.ds(win, mc)]
-                qq = cenq * nq
-                if self_pass:
-                    qq = qq * (1.0 - is_self[...])
-                if excl_e and csc is not None:
-                    qq = qq * csc
-                rs_inv = jnp.sqrt(rinv)  # 1/r (rinv is full-accuracy 1/r²)
-                r = r2 * rs_inv
-                ex = jnp.exp(-cl_alpha2 * r2)
-                tden = 1.0 + (_ERFC_P * cl_alpha) * r
-                t = _recip(tden, interpret, n_newton)
-                a1, a2, a3, a4, a5 = _ERFC_A
-                erfc_ar = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5)))) * ex
-                g_r = erfc_ar * rinv + (cl_gauss * ex) * rs_inv
-                inside = (r2 < cl_rc2).astype(jnp.float32)
-                mre_c = (qq * inside) * (r * (g_r - cl_fshift))
-                tot = tot + mre_c
-                if compute_energy:
-                    e_c = (qq * inside) * (
-                        erfc_ar * rs_inv - cl_eshift + cl_fshift * (r - cl_rc)
-                    )
-            gf = tot * rinv
-            gfx = gf * dvx
-            gfy = gf * dvy
-            gfz = gf * dvz
-
-            # Accumulate full pair tiles; ONE batched segment reduction at the
-            # end of the program (MXU dispatches are latency-bound).
-            fx_a += gfx
-            fy_a += gfy
-            fz_a += gfz
-            if compute_energy:
-                esw = (t12 - t6) * gsw
-                if e_c is not None:
-                    esw = esw + e_c
-                e_a += 0.5 * esw
-                w_a += 0.5 * tot
-            reaction = None
-            if not self_pass:
-                # Newton reaction sums over the center axis, padded out to the
-                # full ghost row at this dx's lane window (full-row writes are
-                # aligned; per-window RMWs would each pay lane rotations).
-                def row_pad(t):
-                    return jnp.pad(
-                        -jnp.sum(t, axis=0, keepdims=True), ((0, 0), (win, g * c - win - mc))
-                    )
-
-                reaction = (row_pad(gfx), row_pad(gfy), row_pad(gfz))
-                if compute_energy:
-                    reaction += (row_pad(-0.5 * esw), row_pad(-0.5 * tot))
-            return (fx_a, fy_a, fz_a, e_a, w_a), reaction
+        pair_pass = _build_pair_pass(
+            c=c, mc=mc, gc=g * c, rs2=rs2, invd2=invd2, n_newton=n_newton,
+            interpret=interpret, compute_energy=compute_energy,
+            uniform_params=uniform_params, coulomb=coulomb,
+            excl_e=excl_e, excl_cs=excl_cs, is_self=is_self[...],
+            load=load, cen=cen,
+        )
 
         zero_tile = jnp.zeros((c, mc), jnp.float32)
         acc = (zero_tile, zero_tile, zero_tile, zero_tile, zero_tile)
@@ -683,43 +744,62 @@ def halfshell_call(
 # Streaming variant: unbounded N (ghost rows fed per program from HBM)
 # ---------------------------------------------------------------------------
 
-_FULL_SHELL_27 = [
-    (dz, dy, dx) for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
-]
+# The half-shell grouped by (dz, dy) ghost row: group (0, 0) holds the dx=+1
+# offset (and hosts the self pass), the other four hold all three dx windows.
+_HS_ROW_GROUPS = ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
+_HS_GROUP_DXS = {(0, 0): (1,), (0, 1): (-1, 0, 1), (1, -1): (-1, 0, 1),
+                 (1, 0): (-1, 0, 1), (1, 1): (-1, 0, 1)}
 
 
 def _prep_streaming_inputs(
-    state: CellDenseState, config: CellDenseConfig, uniform: bool = False
+    state: CellDenseState,
+    config: CellDenseConfig,
+    uniform: bool = False,
+    kc: float = 0.0,
+    excl=None,
 ):
-    """Ghost neighborhood as 9 per-(dz,dy) row views of shape (M², 1, G·C).
+    """Ghost neighborhood as 5 per-(dz,dy) HALF-SHELL row views of shape
+    (M², 1, G·C) per field.
 
     Pallas block index maps cannot express overlapping (halo) windows, so the
-    nine (dz, dy) neighbor rows each program needs are materialized as nine
+    five (dz, dy) neighbor rows each program needs are materialized as five
     shifted views per field in XLA — plain slices of the ghosted grid, cheap
-    relative to the pair math they feed.
-    """
+    relative to the pair math they feed.  kc/excl mirror `_prep_inputs`."""
     m, c = config.cells_per_dim, config.capacity
     g = m + 2
     pos = _sentinel_positions(state, config)
     grid = lambda a: a.reshape(m, m, m, c)
+    sbox = _state_box(state, config)
 
     fields = [
-        _ghost(grid(pos[..., 0]), m, axis_shift=2, box=config.box),
-        _ghost(grid(pos[..., 1]), m, axis_shift=1, box=config.box),
-        _ghost(grid(pos[..., 2]), m, axis_shift=0, box=config.box),
+        _ghost(grid(pos[..., 0]), m, axis_shift=2, box=sbox),
+        _ghost(grid(pos[..., 1]), m, axis_shift=1, box=sbox),
+        _ghost(grid(pos[..., 2]), m, axis_shift=0, box=sbox),
     ]
     cen_fields = [pos[..., 0], pos[..., 1], pos[..., 2]]
     if not uniform:
         fields += [_ghost(grid(state.half_sigma), m), _ghost(grid(state.twice_sqrt_eps), m)]
         cen_fields += [state.half_sigma, state.twice_sqrt_eps]
+    if kc:
+        qs = jnp.sqrt(jnp.float32(kc)) * state.charges
+        fields.append(_ghost(grid(qs), m))
+        cen_fields.append(qs)
+    if excl is not None:
+        ids, mlj, mcs = excl
+        aid_f = jnp.where(state.valid, state.atom_id, -2).astype(jnp.float32)
+        fields.append(_ghost(grid(aid_f), m))
+        e_n = ids.shape[-1]
+        cen_fields += [ids[..., e] for e in range(e_n)]
+        cen_fields += [mlj[..., e] for e in range(e_n)]
+        if mcs is not None:
+            cen_fields += [mcs[..., e] for e in range(e_n)]
 
     views = []
     for field in fields:
         flat_x = field.reshape(g, g, g * c)
-        for dz in (0, 1, 2):
-            for dy in (0, 1, 2):
-                v = jax.lax.slice(flat_x, (dz, dy, 0), (dz + m, dy + m, g * c))
-                views.append(v.reshape(m * m, 1, g * c))
+        for dz, dy in _HS_ROW_GROUPS:
+            v = jax.lax.slice(flat_x, (dz + 1, dy + 1, 0), (dz + 1 + m, dy + 1 + m, g * c))
+            views.append(v.reshape(m * m, 1, g * c))
 
     def center(a):
         return a.reshape(m * m, m, c).transpose(0, 2, 1)
@@ -730,40 +810,57 @@ def _prep_streaming_inputs(
 
 def _make_streaming_kernel(
     config: CellDenseConfig, model_consts, compute_energy, interpret,
-    uniform_params=None,
+    uniform_params=None, coulomb=None, excl_e: int = 0, excl_cs: bool = False,
+    dims=None,
 ):
-    m, c = config.cells_per_dim, config.capacity
-    g = m + 2
-    mc = m * c
+    """dims=(mz, my, mx): interior cell-grid shape — cubic (M, M, M) on one
+    chip, a shard's local block under shard_map."""
+    c = config.capacity
+    mz, my, mx = dims if dims is not None else (config.cells_per_dim,) * 3
+    m = mx  # lane-axis cell count
+    g = mx + 2
+    mc = mx * c
+    gc = g * c
     rs2, invd2 = model_consts
     n_newton = _newton_steps()
     uniform = uniform_params is not None
-    if uniform:
-        hs_u, tse_u = uniform_params
-        sig2_u = float((2.0 * hs_u) ** 2)
-        eps4_u = float(tse_u * tse_u)
-    n_fields_in = 3 if uniform else 5
+    names = ["x", "y", "z"]
+    if not uniform:
+        names += ["hs", "tse"]
+    if coulomb is not None:
+        names.append("q")
+    if excl_e:
+        names.append("aid")
+    n_f = len(names)
+    n_r = 5 if compute_energy else 3  # reaction rows: fx, fy, fz[, e, w]
+    group_index = {grp: i for i, grp in enumerate(_HS_ROW_GROUPS)}
 
     def kernel(*refs):
-        ghost_refs = refs[: 9 * n_fields_in]  # fields × 9 (dz,dy) views
-        centers = refs[9 * n_fields_in]
-        outs = refs[9 * n_fields_in + 1 :]
+        ghost_refs = refs[: 5 * n_f]
+        centers = refs[5 * n_f]
+        outs = refs[5 * n_f + 1 :]
         fx, fy, fz = outs[:3]
+        ro = outs[3:8]  # 5 reaction row groups, each (1, n_r, G·C)
         if compute_energy:
-            e_out, w_out = outs[3:]
+            e_out, w_out = outs[8:10]
 
+        # Constant tiles built in-kernel (once per program — the streaming
+        # kernel trades a few iota ops for not shipping const refs per block).
         lane_in_cell = jax.lax.broadcasted_iota(jnp.int32, (c, mc), 1) % c
         sub_id = jax.lax.broadcasted_iota(jnp.int32, (c, mc), 0)
         is_self = (lane_in_cell == sub_id).astype(jnp.float32)
-        seg = (
+        seg_bf16 = (
             jax.lax.broadcasted_iota(jnp.int32, (mc, m), 0) // c
             == jax.lax.broadcasted_iota(jnp.int32, (mc, m), 1)
+        ).astype(jnp.bfloat16)
+        expand = (
+            jax.lax.broadcasted_iota(jnp.int32, (m, mc), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (m, mc), 1) // c
         ).astype(jnp.float32)
 
         mm = lambda a, b: jnp.dot(
             a, b, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
         )
-        seg_bf16 = seg.astype(jnp.bfloat16)
 
         def segsum(t):
             hi = t.astype(jnp.bfloat16)
@@ -775,65 +872,34 @@ def _make_streaming_kernel(
             out += jnp.dot(lo, seg_bf16, preferred_element_type=jnp.float32)
             return out
 
-        expand = (
-            jax.lax.broadcasted_iota(jnp.int32, (m, mc), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (m, mc), 1) // c
-        ).astype(jnp.float32)
         cen_all = mm(centers[0], expand)
-        cenx = cen_all[0:c]
-        ceny = cen_all[c : 2 * c]
-        cenz = cen_all[2 * c : 3 * c]
-        if not uniform:
-            cenhs = cen_all[3 * c : 4 * c]
-            centse = cen_all[4 * c : 5 * c]
+        cen = _unpack_centers(cen_all, c, uniform, coulomb is not None, excl_e, excl_cs)
+
+        def load(name, dz, dy, win):
+            fi = names.index(name)
+            return ghost_refs[fi * 5 + group_index[(dz, dy)]][0, 0:1, pl.ds(win, mc)]
+
+        pair_pass = _build_pair_pass(
+            c=c, mc=mc, gc=gc, rs2=rs2, invd2=invd2, n_newton=n_newton,
+            interpret=interpret, compute_energy=compute_energy,
+            uniform_params=uniform_params, coulomb=coulomb,
+            excl_e=excl_e, excl_cs=excl_cs, is_self=is_self,
+            load=load, cen=cen,
+        )
 
         zero_tile = jnp.zeros((c, mc), jnp.float32)
-        acc = [zero_tile, zero_tile, zero_tile, zero_tile, zero_tile]
-
-        for dz, dy, dx in _FULL_SHELL_27:
-            view = (dz + 1) * 3 + (dy + 1)
-            win = (dx + 1) * c
-            nx = ghost_refs[0 * 9 + view][0, 0:1, pl.ds(win, mc)]
-            ny = ghost_refs[1 * 9 + view][0, 0:1, pl.ds(win, mc)]
-            nz = ghost_refs[2 * 9 + view][0, 0:1, pl.ds(win, mc)]
-
-            dvx = cenx - nx
-            dvy = ceny - ny
-            dvz = cenz - nz
-            r2 = dvx * dvx + dvy * dvy + dvz * dvz
-            if uniform:
-                eps4 = eps4_u * (1.0 - is_self) if (dz, dy, dx) == (0, 0, 0) else eps4_u
-            else:
-                nhs = ghost_refs[3 * 9 + view][0, 0:1, pl.ds(win, mc)]
-                ntse = ghost_refs[4 * 9 + view][0, 0:1, pl.ds(win, mc)]
-                sig = cenhs + nhs
-                eps4 = centse * ntse
-                if (dz, dy, dx) == (0, 0, 0):
-                    eps4 = eps4 * (1.0 - is_self)
-            if (dz, dy, dx) == (0, 0, 0):
-                r2 = r2 + is_self
-            rinv = _recip(r2, interpret, max(n_newton, 2))
-            if uniform:
-                s2 = sig2_u * rinv
-            else:
-                s2 = sig * sig * rinv
-            s6 = s2 * s2 * s2
-            e4s6 = eps4 * s6
-            energy = e4s6 * (s6 - 1.0)
-            mrE = 6.0 * e4s6 * (2.0 * s6 - 1.0)
-            x = jnp.clip((r2 - rs2) * invd2, 0.0, 1.0)
-            x2 = x * x
-            gsw = 1.0 + x * x2 * (15.0 * x - 6.0 * x2 - 10.0)
-            one_m_x = 1.0 - x
-            mrg = (60.0 * invd2) * x2 * one_m_x * one_m_x * r2
-            tot = mrE * gsw + energy * mrg
-            gf = tot * rinv
-            acc[0] += gf * dvx
-            acc[1] += gf * dvy
-            acc[2] += gf * dvz
-            if compute_energy:
-                acc[3] += 0.5 * energy * gsw
-                acc[4] += 0.5 * tot
+        acc = (zero_tile, zero_tile, zero_tile, zero_tile, zero_tile)
+        acc, _ = pair_pass(0, 0, 0, True, acc)
+        for grp in _HS_ROW_GROUPS:
+            dz, dy = grp
+            parts = []
+            for dx in _HS_GROUP_DXS[grp]:
+                acc, reaction = pair_pass(dz, dy, dx, False, acc)
+                parts.append(reaction)
+            combined = [sum(p[k] for p in parts) for k in range(len(parts[0]))]
+            # Each program owns its row of every group output — one plain
+            # write, no cross-program read-modify-write (HBM-safe).
+            ro[group_index[grp]][0] = jnp.concatenate(combined, axis=0)
 
         n_fields = 5 if compute_energy else 3
         reduced = segsum(jnp.concatenate(acc[:n_fields], axis=0))
@@ -847,9 +913,77 @@ def _make_streaming_kernel(
     return kernel
 
 
+def streaming_halfshell_call(
+    views,
+    centers,
+    config: CellDenseConfig,
+    dims,
+    *,
+    compute_energy: bool = False,
+    interpret: bool = False,
+    uniform_params=None,
+    coulomb=None,
+    excl_e: int = 0,
+    excl_cs: bool = False,
+):
+    """Raw half-shell streaming pallas_call over pre-built row views.
+
+    views: 5 half-shell (dz, dy) row views per ghost field, each
+    (Mz·My, 1, (Mx+2)·C) (order: fields × `_HS_ROW_GROUPS`); centers: the
+    stacked (Mz·My, n·C, Mx) center block.  dims = (mz, my, mx) interior
+    cells.  Returns [fx, fy, fz, 5 × reaction row groups (Mz·My, n_r, G·C)
+    (+ e, w center outputs)]; the caller pads the groups back onto its ghost
+    grid and folds (periodically on one chip, via reverse halo ppermute
+    across shards)."""
+    mz, my, mx = dims
+    c = config.capacity
+    g = mx + 2
+    gc = g * c
+    rs2 = float(config.switch) ** 2
+    rc2 = float(config.cutoff) ** 2
+    invd2 = 1.0 / (rc2 - rs2)
+    uniform = uniform_params is not None
+
+    kernel = _make_streaming_kernel(
+        config, (rs2, invd2), compute_energy, interpret,
+        uniform_params=uniform_params, coulomb=coulomb,
+        excl_e=excl_e, excl_cs=excl_cs, dims=dims,
+    )
+
+    n_f = 3 + (0 if uniform else 2) + (0 if coulomb is None else 1) + (1 if excl_e else 0)
+    n_cen = n_f - (1 if excl_e else 0) + excl_e * (3 if excl_cs else 2)
+    n_r = 5 if compute_energy else 3
+    ghost_spec = pl.BlockSpec((1, 1, gc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    center_spec = pl.BlockSpec((1, n_cen * c, mx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_center = pl.BlockSpec((1, c, mx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_react = pl.BlockSpec((1, n_r, gc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    out_shapes = [jax.ShapeDtypeStruct((mz * my, c, mx), jnp.float32)] * 3
+    out_specs = [out_center] * 3
+    out_shapes += [jax.ShapeDtypeStruct((mz * my, n_r, gc), jnp.float32)] * 5
+    out_specs += [out_react] * 5
+    if compute_energy:
+        out_shapes += [jax.ShapeDtypeStruct((mz * my, c, mx), jnp.float32)] * 2
+        out_specs += [out_center] * 2
+
+    call_kwargs = dict(
+        grid=(mz * my,),
+        in_specs=[ghost_spec] * (5 * n_f) + [center_spec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+    )
+    if interpret:
+        call_kwargs["interpret"] = True
+    else:
+        call_kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        )
+    return pl.pallas_call(kernel, **call_kwargs)(*views, centers)
+
+
 @partial(
     jax.jit,
-    static_argnames=("config", "compute_energy", "interpret", "uniform_params"),
+    static_argnames=("config", "compute_energy", "interpret", "uniform_params", "coulomb"),
 )
 def pallas_cell_forces_streaming(
     state: CellDenseState,
@@ -859,51 +993,65 @@ def pallas_cell_forces_streaming(
     compute_energy: bool = False,
     interpret: bool = False,
     uniform_params=None,
+    coulomb=None,
+    excl=None,
 ):
     """Streaming (HBM-fed) variant of `pallas_cell_forces` for any N.
 
-    One grid program per (z, y) pencil; each program's nine ghost
+    One grid program per (z, y) pencil; each program's five half-shell ghost
     neighborhood rows arrive as their own (1, G·C) blocks (Pallas pipelines
     the DMAs), so VMEM holds only a pencil's working set — no whole-problem
-    residency requirement.  Full 27-shell with center-only accumulation:
-    each pair is computed by both owners, no reaction buffer, no Newton —
-    the VMEM-resident half-shell kernel stays faster below ~150k atoms.
+    residency requirement.  HALF-shell with Newton reaction rows: each
+    program writes its reaction contributions as five per-(dz,dy) row groups
+    (its own rows — no cross-program accumulation), which XLA pads back onto
+    the ghost grid and folds, exactly like the resident kernel's reaction
+    buffer but streamed.  Supports the full molecular feature set (DSF
+    Coulomb + kernel-resident exclusion tags) via the shared pair-pass.
     """
     m, c = config.cells_per_dim, config.capacity
     g = m + 2
-    rs2 = float(config.switch) ** 2
-    rc2 = float(config.cutoff) ** 2
-    invd2 = 1.0 / (rc2 - rs2)
+    gc = g * c
 
     uniform = uniform_params is not None
-    n_f = 3 if uniform else 5
-    views, centers = _prep_streaming_inputs(state, config, uniform=uniform)
-    kernel = _make_streaming_kernel(
-        config, (rs2, invd2), compute_energy, interpret, uniform_params=uniform_params
+    if excl is not None and coulomb is not None and excl[2] is None:
+        # Missing Coulomb scales default to the LJ scales — never skip them.
+        excl = (excl[0], excl[1], excl[1])
+    excl_e = 0 if excl is None else int(excl[0].shape[-1])
+    excl_cs = excl is not None and excl[2] is not None
+    views, centers = _prep_streaming_inputs(
+        state, config, uniform=uniform,
+        kc=0.0 if coulomb is None else coulomb[4], excl=excl,
     )
-
-    ghost_spec = pl.BlockSpec((1, 1, g * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    center_spec = pl.BlockSpec((1, n_f * c, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    out_center = pl.BlockSpec((1, c, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-
-    n_out = 5 if compute_energy else 3
-    out_shapes = [jax.ShapeDtypeStruct((m * m, c, m), jnp.float32)] * n_out
-    out_specs = [out_center] * n_out
-
-    call_kwargs = dict(
-        grid=(m * m,),
-        in_specs=[ghost_spec] * (9 * n_f) + [center_spec],
-        out_specs=out_specs,
-        out_shape=out_shapes,
+    outs = streaming_halfshell_call(
+        views, centers, config, (m, m, m),
+        compute_energy=compute_energy, interpret=interpret,
+        uniform_params=uniform_params, coulomb=coulomb,
+        excl_e=excl_e, excl_cs=excl_cs,
     )
-    if interpret:
-        call_kwargs["interpret"] = True
-    outs = pl.pallas_call(kernel, **call_kwargs)(*views, centers)
 
     def uncenter(a):  # (M², C, M) → (M³, C)
         return a.transpose(0, 2, 1).reshape(m**3, c)
 
-    forces = jnp.stack([uncenter(outs[0]), uncenter(outs[1]), uncenter(outs[2])], axis=-1)
+    react_groups = outs[3:8]
+
+    def assemble(comp):
+        """Pad the five (M², G·C) reaction row groups back onto the (G², G·C)
+        ghost grid at their (dz, dy) offsets and fold ghosts periodically."""
+        full = sum(
+            jnp.pad(
+                react_groups[gi][:, comp, :].reshape(m, m, gc),
+                ((dz + 1, 1 - dz), (dy + 1, 1 - dy), (0, 0)),
+            )
+            for gi, (dz, dy) in enumerate(_HS_ROW_GROUPS)
+        )
+        return _fold_ghosts(full.reshape(g * g, gc), m, c)
+
+    forces = jnp.stack(
+        [uncenter(outs[0]) + assemble(0), uncenter(outs[1]) + assemble(1),
+         uncenter(outs[2]) + assemble(2)], axis=-1,
+    )
     if not compute_energy:
         return forces, None, None
-    return forces, uncenter(outs[3]), uncenter(outs[4])
+    energies = uncenter(outs[8]) + assemble(3)
+    virials = uncenter(outs[9]) + assemble(4)
+    return forces, energies, virials

@@ -85,9 +85,19 @@ def torsion_energy(positions, box, table: TorsionTable):
     b1 = _disp(positions, box, jj, ii)
     b2 = _disp(positions, box, kk, jj)
     b3 = _disp(positions, box, ll, kk)
+    # Pad rows clip every index to the same atom → b's of zero → 0/0 and
+    # arctan2(0, 0), whose NaN PARTIALS poison jax.grad even though the
+    # energy itself is `valid`-masked (0·NaN = NaN in the chain rule).
+    # Substitute a non-degenerate frame for invalid rows before any math.
+    val = table.valid[:, None]
+    b1 = jnp.where(val, b1, jnp.asarray([1.0, 0.0, 0.0], b1.dtype))
+    b2 = jnp.where(val, b2, jnp.asarray([0.0, 1.0, 0.0], b2.dtype))
+    b3 = jnp.where(val, b3, jnp.asarray([0.0, 0.0, 1.0], b3.dtype))
     n1 = jnp.cross(b1, b2)
     n2 = jnp.cross(b2, b3)
-    m1 = jnp.cross(n1, b2 / jnp.linalg.norm(b2, axis=-1, keepdims=True))
+    m1 = jnp.cross(
+        n1, b2 / jnp.sqrt(jnp.sum(b2 * b2, axis=-1, keepdims=True) + 1e-30)
+    )
     x = jnp.sum(n1 * n2, axis=-1)
     y = jnp.sum(m1 * n2, axis=-1)
     phi = jnp.arctan2(y, x)  # (T,)
@@ -96,6 +106,18 @@ def torsion_energy(positions, box, table: TorsionTable):
     )  # (T, P)
     e = jnp.sum(e_terms, axis=-1)
     return jnp.sum(jnp.where(table.valid, e, 0.0))
+
+
+def bond_virial(positions, box, table: BondTable):
+    """Scalar bond virial Σ −r·dE/dr = Σ −k·r·(r − r₀) (the engine's pair
+    convention, so P = (2K + W)/(3V) stays exact with bonded terms)."""
+    n = positions.shape[0]
+    i = jnp.minimum(table.atoms[:, 0], n - 1)
+    j = jnp.minimum(table.atoms[:, 1], n - 1)
+    rv = _disp(positions, box, i, j)
+    r = jnp.sqrt(jnp.sum(rv * rv, axis=-1) + 1e-30)
+    w = -table.k * r * (r - table.length)
+    return jnp.sum(jnp.where(table.valid, w, 0.0))
 
 
 class BondedSystem(NamedTuple):
@@ -118,6 +140,17 @@ class BondedSystem(NamedTuple):
             e = e + torsion_energy(positions, box, self.impropers)
         return e
 
+    def virial(self, positions, box):
+        """Total scalar virial of the bonded terms.
+
+        Angles and torsions are functions of ANGLES only, which are invariant
+        under isotropic scaling of all coordinates — their virial is exactly
+        zero; only the bond-length terms contribute."""
+        w = jnp.asarray(0.0, positions.dtype)
+        if self.bonds is not None:
+            w = w + bond_virial(positions, box, self.bonds)
+        return w
+
     def force_fn(self):
         """forces(positions, box) = −∇E, via autodiff (exact)."""
         grad = jax.grad(lambda p, b: self.energy(p, b))
@@ -126,3 +159,15 @@ class BondedSystem(NamedTuple):
             return -grad(positions, box)
 
         return forces
+
+    def remap(self, index_map):
+        """Tables with every atom index mapped through `index_map` (e.g. the
+        per-rebin atom→slot binding; pad rows map through index_map's last
+        row).  Parameters and validity are shared, not copied."""
+        re = lambda t: None if t is None else t._replace(
+            atoms=index_map[jnp.minimum(t.atoms, index_map.shape[0] - 1)]
+        )
+        return BondedSystem(
+            bonds=re(self.bonds), angles=re(self.angles),
+            torsions=re(self.torsions), impropers=re(self.impropers),
+        )

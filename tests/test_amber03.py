@@ -160,7 +160,11 @@ def test_disambiguation_path(amber03, tmp_path):
     ff2._template_index = {
         k: list(v) for k, v in amber03._template_index.items()
     }
-    key = (mid_template.num_atoms, np.packbits(mid_template.adjacency).tobytes())
+    key = (
+        mid_template.num_atoms,
+        np.packbits(mid_template.adjacency).tobytes(),
+        mid_template.canonical_masses,
+    )
     ff2._template_index[key] = ff2._template_index[key] + ["ALA_DUP"]
 
     with pytest.raises(ValueError, match="multiple templates"):

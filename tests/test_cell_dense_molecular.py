@@ -200,3 +200,53 @@ def test_molecular_dense_water_box_10k():
     pos_d, vel_d = gather_dense_atoms(out, n)
     np.testing.assert_allclose(pos_d % box, np.asarray(ref.positions) % box, atol=2e-3)
     np.testing.assert_allclose(vel_d, np.asarray(ref.velocities), rtol=2e-2, atol=3e-2)
+
+
+def test_exclusion_band_split_matches_full_width():
+    """Capping the kernel tag width (exclusion_band) and routing the
+    remainder through the slot-space pair correction must reproduce the
+    full-width kernel-tag path elementwise — the protein-scale E story."""
+    from emdee_tpu.neighbors.cell_dense import gather_dense_atoms
+    from emdee_tpu.neighbors.cell_dense_molecular import (
+        build_exclusion_tables,
+        dense_sim_from_system,
+    )
+
+    system = _fixture_system()
+    n = len(system)
+    pairs, lj_s, c_s = system.exclusions(coulomb=True)
+    full = build_exclusion_tables(n, pairs, lj_s, c_s)
+    e_full = int(full[0].shape[-1])
+    assert e_full >= 3  # the band below must actually split something
+    band = 2
+    tabs, leftover = build_exclusion_tables(n, pairs, lj_s, c_s, band_e=band)
+    assert int(tabs[0].shape[-1]) <= band and leftover[0].shape[0] > 0
+
+    rng = np.random.default_rng(7)
+    vel = rng.normal(scale=0.05, size=(n, 3))
+    dt, steps = 2e-4, 8
+
+    st_a, roll_a, energy_a, _ = dense_sim_from_system(
+        system, cutoff=7.0, switch=6.0, dt=dt, skin=1.0, velocities=vel,
+    )
+    st_b, roll_b, energy_b, _ = dense_sim_from_system(
+        system, cutoff=7.0, switch=6.0, dt=dt, skin=1.0, velocities=vel,
+        exclusion_band=band,
+    )
+    # The slot-space correction recomputes the huge overlapped bonded-pair
+    # LJ terms with minimum-image r² rounding vs the kernel's raw ghost
+    # differences — the same O(1 kJ/mol) cancellation residue as the
+    # atom-space correction pass (see test_kernel_exclusions_match_
+    # correction_pass); tolerances match that test.
+    box = float(system.box_lengths[0])
+    pe_a, vir_a, _ = (float(x) for x in energy_a(st_a))
+    pe_b, vir_b, _ = (float(x) for x in energy_b(st_b))
+    assert pe_b == pytest.approx(pe_a, rel=5e-4)
+    assert vir_b == pytest.approx(vir_a, rel=5e-3, abs=50.0)
+
+    out_a = roll_a(st_a, num_steps=steps, rebin_every=4)
+    out_b = roll_b(st_b, num_steps=steps, rebin_every=4)
+    pa, va = gather_dense_atoms(out_a, n)
+    pb, vb = gather_dense_atoms(out_b, n)
+    np.testing.assert_allclose(pb % box, pa % box, atol=2e-3)
+    np.testing.assert_allclose(vb, va, atol=5e-2)

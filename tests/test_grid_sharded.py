@@ -183,3 +183,22 @@ def test_grid_molecular_matches_single_chip():
     p_out, v_out = gather_grid_atoms(out, config, n)
     np.testing.assert_allclose(p_out, p_ref, atol=2e-4)
     np.testing.assert_allclose(v_out, v_ref, atol=2e-4)
+
+
+def test_grid_streaming_interpret_matches_xla():
+    """The per-shard HBM-streaming kernel (for shards beyond VMEM residency)
+    under shard_map agrees with the portable XLA half-shell — same halo
+    pattern, reaction rows delivered by the reverse folds."""
+    st, config, model, n = _setup(n=1024, density=0.12)
+    mesh = make_grid_mesh((2, 2, 2))
+    st_sh = distribute_grid(st, config, mesh)
+    r_xla, _ = make_grid_sharded_sim(config, model, 0.002, mesh, backend="xla")
+    r_str, _ = make_grid_sharded_sim(
+        config, model, 0.002, mesh, backend="pallas_streaming_interpret"
+    )
+    out_x = r_xla(st_sh, num_steps=4, rebin_every=2)
+    out_s = r_str(st_sh, num_steps=4, rebin_every=2)
+    px, vx = gather_grid_atoms(out_x, config, n)
+    ps, vs = gather_grid_atoms(out_s, config, n)
+    np.testing.assert_allclose(ps, px, atol=1e-4)
+    np.testing.assert_allclose(vs, vx, atol=1e-4)

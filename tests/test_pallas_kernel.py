@@ -156,3 +156,52 @@ def test_kernel_charged_with_exclusions_matches_xla():
     # The tags actually fire: energy differs from the unexcluded evaluation.
     _, e0, _ = cell_dense_forces(st, model, config, coul, None, compute_energy=True)
     assert abs(float(jnp.where(st.valid, e_x - e0, 0.0).sum())) > 1.0
+
+def test_streaming_kernel_charged_with_exclusions_matches_xla():
+    """The HBM-streaming kernel carries the full molecular feature set (DSF
+    Coulomb + kernel-resident exclusion tags + half-shell Newton reactions):
+    it must match the XLA dense path elementwise, like the resident kernel."""
+    from emdee_tpu.neighbors.cell_dense_molecular import (
+        build_exclusion_tables,
+        make_exclusion_aux_fn,
+    )
+    from emdee_tpu.neighbors.pallas_cell_kernel import pallas_cell_forces_streaming
+    from emdee_tpu.potentials.coulomb import DSFCoulomb, coulomb_consts
+
+    n = 864
+    pos, L = cubic_lattice(n, 0.5, jitter=0.15, seed=5)
+    q = np.where(np.arange(n) % 2 == 0, 0.3, -0.3).astype(np.float32)
+    q -= q.mean()
+    params = lennard_jones_atom(np.ones(n), np.ones(n))
+    config = suggest_cell_dense_config(n, L, cutoff=2.5, switch=2.0, skin=0.3)
+    model = LennardJonesModel.create(2.5, 2.0)
+    coul = DSFCoulomb.create(2.5, alpha=0.25, coulomb_constant=1.0)
+    st = cell_dense_init(
+        pos, maxwell_boltzmann(n, 1.0, seed=7), np.ones(n), params, config,
+        charges=q,
+    )
+    base = np.arange(0, n - 2, 3)
+    pairs = np.concatenate(
+        [np.stack([base, base + 1], 1), np.stack([base + 1, base + 2], 1)]
+    )
+    ljs = np.where(np.arange(len(pairs)) % 2 == 0, 0.0, 0.5).astype(np.float32)
+    cs = np.where(np.arange(len(pairs)) % 2 == 0, 0.0, 0.8).astype(np.float32)
+    tabs = build_exclusion_tables(n, pairs, ljs, cs)
+    aux = make_exclusion_aux_fn(n, *tabs)(st)
+
+    f_x, e_x, w_x = cell_dense_forces(st, model, config, coul, aux, compute_energy=True)
+    f_s, e_s, w_s = pallas_cell_forces_streaming(
+        st, model, config, compute_energy=True, interpret=True,
+        coulomb=coulomb_consts(coul), excl=aux,
+    )
+    valid = np.asarray(st.valid)
+    scale = max(np.abs(np.asarray(f_x)[valid]).max(), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(f_s)[valid], np.asarray(f_x)[valid], atol=2e-4 * scale
+    )
+    np.testing.assert_allclose(
+        np.asarray(e_s)[valid], np.asarray(e_x)[valid], atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(w_s)[valid], np.asarray(w_x)[valid], atol=1e-3
+    )
