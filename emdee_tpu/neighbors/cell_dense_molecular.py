@@ -235,8 +235,12 @@ def make_molecular_dense_sim(
     rebin: str = "shift",
     exclusion_mode: str = "kernel",
     exclusion_band: Optional[int] = None,
+    thermostat=None,
+    barostat=None,
 ):
     """(rollout, energy) closures for a molecular system in slot space.
+    thermostat/barostat forward to `make_cell_dense_sim` (CSVR / Langevin /
+    Berendsen on the production engine).
 
     Same contract as `make_cell_dense_sim` — this wraps it with the
     molecular hooks.  The state must be built by
@@ -361,7 +365,7 @@ def make_molecular_dense_sim(
         return make_cell_dense_sim(
             config, model, dt, backend=backend, rebin=rebin, coulomb=coulomb,
             extra_forces=extra_forces, extra_energy=extra_energy, aux_fn=aux_fn,
-            extra_aux_fn=extra_aux_fn,
+            extra_aux_fn=extra_aux_fn, thermostat=thermostat, barostat=barostat,
         )
 
     def corrections_at(pos_at, outputs):
@@ -407,6 +411,7 @@ def make_molecular_dense_sim(
     return make_cell_dense_sim(
         config, model, dt, backend=backend, rebin=rebin, coulomb=coulomb,
         extra_forces=extra_forces, extra_energy=extra_energy,
+        thermostat=thermostat, barostat=barostat,
     )
 
 
@@ -426,6 +431,8 @@ def dense_sim_from_system(
     velocities=None,
     exclusion_mode: str = "kernel",
     exclusion_band="auto",
+    thermostat=None,
+    barostat=None,
 ):
     """One-call System → dense-engine simulation.
 
@@ -499,5 +506,7 @@ def dense_sim_from_system(
         backend=backend,
         exclusion_mode=exclusion_mode,
         exclusion_band=exclusion_band,
+        thermostat=thermostat,
+        barostat=barostat,
     )
     return state, rollout, energy, config

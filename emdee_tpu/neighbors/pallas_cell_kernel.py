@@ -431,10 +431,20 @@ def _build_pair_pass(
             # Newton reaction sums over the center axis, padded out to the
             # full ghost row at this dx's lane window (full-row writes are
             # aligned; per-window RMWs would each pay lane rotations).
-            def row_pad(t):
-                return jnp.pad(
-                    -jnp.sum(t, axis=0, keepdims=True), ((0, 0), (win, gc - win - mc))
-                )
+            import os as _os
+
+            if _os.environ.get("EMDEE_ABLATE_ROWSUM"):
+                # Timing ablation ONLY (wrong physics): skip the cross-
+                # sublane reduction to measure its share of the pass.
+                def row_pad(t):
+                    return jnp.pad(
+                        -t[0:1], ((0, 0), (win, gc - win - mc))
+                    )
+            else:
+                def row_pad(t):
+                    return jnp.pad(
+                        -jnp.sum(t, axis=0, keepdims=True), ((0, 0), (win, gc - win - mc))
+                    )
 
             reaction = (row_pad(gfx), row_pad(gfy), row_pad(gfz))
             if compute_energy:

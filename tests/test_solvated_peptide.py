@@ -97,16 +97,17 @@ def test_solvated_peptide_fire_then_nvt(peptide_system):
     st, rollout, energy, config = dense_sim_from_system(
         sys_relaxed, cutoff=7.0, switch=6.0, dt=5e-4, skin=1.0,
         exclusion_band=6,
+        thermostat=CSVRConfig(temperature=300.0, tau=0.05, kB=0.00831446),
     )
     assert not bool(st.overflow)
     pe0 = float(energy(st)[0])
     assert np.isfinite(pe0)
 
-    out = rollout(st, num_steps=120, rebin_every=6)
+    out = rollout(st, num_steps=120, rebin_every=6, rng=jax.random.PRNGKey(2))
     assert not bool(out.overflow)
     pe1, vir1, ke1 = (float(x) for x in energy(out))
     assert np.isfinite(pe1) and np.isfinite(vir1) and np.isfinite(ke1)
-    # Stiff-start heating stays bounded: T* = 2K/(3N kB) in kJ/mol units,
-    # kB = 0.00831446 kJ/mol/K → temperature under 500 K.
+    # CSVR holds the stiff start near the 300 K target (generous window —
+    # 120 steps of equilibration from a minimized lattice).
     t_kelvin = 2.0 * ke1 / (3.0 * n * 0.00831446)
-    assert t_kelvin < 500.0
+    assert 100.0 < t_kelvin < 500.0

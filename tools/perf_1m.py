@@ -13,15 +13,20 @@ import numpy as np
 
 
 def check(n=20_000):
-    """Real-TPU differential: streaming kernel vs XLA dense engine forces."""
+    """Real-TPU differential: streaming kernel vs the (already bench-gated)
+    resident Pallas kernel — the XLA dense engine's giant unrolled stencil
+    takes many minutes to compile through the tunnel, so the resident kernel
+    (itself checked against XLA by bench.py's preamble) is the anchor."""
     import jax
 
     from emdee_tpu.neighbors.cell_dense import (
-        cell_dense_forces,
         cell_dense_init,
         suggest_cell_dense_config,
     )
-    from emdee_tpu.neighbors.pallas_cell_kernel import pallas_cell_forces_streaming
+    from emdee_tpu.neighbors.pallas_cell_kernel import (
+        pallas_cell_forces,
+        pallas_cell_forces_streaming,
+    )
     from emdee_tpu.potentials.lennard_jones import LennardJonesModel, lennard_jones_atom
     from emdee_tpu.utils.lattice import cubic_lattice, maxwell_boltzmann
 
@@ -31,7 +36,7 @@ def check(n=20_000):
     config = suggest_cell_dense_config(n, L, cutoff=2.5, switch=2.0, skin=0.3)
     model = LennardJonesModel.create(2.5, 2.0)
     st = cell_dense_init(pos, vel, np.ones(n), params, config)
-    f_ref = cell_dense_forces(st, model, config)[0]
+    f_ref = pallas_cell_forces(st, model, config)[0]
     f_s = pallas_cell_forces_streaming(st, model, config)[0]
     f_u = pallas_cell_forces_streaming(st, model, config, uniform_params=(0.5, 2.0))[0]
     valid = np.asarray(st.valid)
