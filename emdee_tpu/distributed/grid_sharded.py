@@ -130,6 +130,7 @@ def make_grid_sharded_sim(
     uniform_params=None,
     coulomb=None,
     excl_tables=None,
+    thermostat=None,
 ):
     """(rollout, energy) closures; state is grid-layout, mesh-sharded.
 
@@ -147,6 +148,12 @@ def make_grid_sharded_sim(
     (cell_dense_molecular.build_exclusion_tables, replicated on every
     shard); slot tags are rebuilt per shard after each rebin and compared
     in-pass — the multi-chip version of the kernel-resident exclusions.
+
+    thermostat: optional `cell_dense.CSVRConfig` — the Bussi global rescale
+    per step; the kinetic energy is a 3-axis psum and the PRNG key is
+    replicated, so every shard computes the identical α (one collective
+    per step, no extra communication rounds).  The rollout then requires
+    an `rng` argument.
     """
     mz, my, mx = validate_grid_config(config, mesh)
     sizes = tuple(mesh.shape[ax] for ax in AXES)
@@ -632,35 +639,55 @@ def make_grid_sharded_sim(
     # ---- rollout under one shard_map ----
 
     def _rollout_local(num_steps, rebin_every, pos, vel, inv_m, hs, tse, aid,
-                       valid, ref, step, overflow, q=None):
+                       valid, ref, step, overflow, rng, q=None):
         def make_one_step(inv_m, hs, tse, valid, q, aid, aux):
             def one_step(carry, _):
-                pos, vel, f = carry
+                pos, vel, f, key = carry
                 v_half = vel + (0.5 * dt_f) * f * inv_m[..., None]
                 new_pos = pos + dt_f * v_half
                 new_pos = jnp.where(valid[..., None], new_pos, pos)
                 f_new = forces_of(new_pos, hs, tse, valid, q, aid, aux)
                 v_new = v_half + (0.5 * dt_f) * f_new * inv_m[..., None]
-                return (new_pos, v_new, f_new), None
+                if thermostat is not None:
+                    from emdee_tpu.dynamics.bussi import _csvr_alpha2
+
+                    kin = 0.5 * jnp.sum(
+                        jnp.where(
+                            valid[..., None],
+                            v_new**2 / jnp.maximum(inv_m[..., None], 1e-30),
+                            0.0,
+                        )
+                    )
+                    for ax in AXES:
+                        kin = jax.lax.psum(kin, ax)
+                    key, sub = jax.random.split(key)
+                    alpha2 = _csvr_alpha2(
+                        sub, jnp.maximum(kin, 1e-30),
+                        jnp.float32(3.0 * config.num_atoms - 3.0),
+                        jnp.float32(thermostat.kB * thermostat.temperature),
+                        dt_f, jnp.float32(thermostat.tau), jnp.float32,
+                    )
+                    v_new = jnp.sqrt(jnp.maximum(alpha2, 0.0)) * v_new
+                return (new_pos, v_new, f_new, key), None
 
             return one_step
 
         def run_block(carry, length):
-            pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f, q = carry
+            pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f, q, key = carry
             (pos, vel, inv_m, hs, tse, aid, valid, overflow, f, ref, q) = _rebin_local(
                 pos, vel, inv_m, hs, tse, aid, valid, overflow, f, q
             )
             aux = _aux_of(aid)
-            (pos, vel, f), _ = jax.lax.scan(
+            (pos, vel, f, key), _ = jax.lax.scan(
                 make_one_step(inv_m, hs, tse, valid, q, aid, aux),
-                (pos, vel, f), None, length=length,
+                (pos, vel, f, key), None, length=length,
             )
             overflow = overflow | _needs_rebin_local(pos, ref, valid)
-            return (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f, q)
+            return (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f, q, key)
 
         f0 = forces_of(pos, hs, tse, valid, q, aid, _aux_of(aid))
         blocks, rem = divmod(num_steps, rebin_every)
-        carry = (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f0, q)
+        carry = (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f0, q, rng)
         if blocks:
             carry, _ = jax.lax.scan(
                 lambda cr, _: (run_block(cr, rebin_every), None), carry, None,
@@ -668,7 +695,7 @@ def make_grid_sharded_sim(
             )
         if rem:
             carry = run_block(carry, rem)
-        (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f, q) = carry
+        (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f, q, _key) = carry
         overflow = _all_reduce_or(overflow)
         # A concrete dummy when chargeless: shard_map out_specs need a leaf.
         q_out = q if q is not None else jnp.zeros((), jnp.float32)
@@ -678,23 +705,28 @@ def make_grid_sharded_sim(
         )
 
     @partial(jax.jit, static_argnames=("num_steps", "rebin_every"))
-    def rollout(state: CellDenseState, num_steps: int, rebin_every: int = 10):
+    def rollout(state: CellDenseState, num_steps: int, rebin_every: int = 10,
+                rng=None):
         if has_q and state.charges is None:
             raise ValueError("coulomb model given but state has no charges")
+        if thermostat is not None and rng is None:
+            raise ValueError("a thermostatted rollout needs an rng key")
+        if rng is None:
+            rng = jax.random.PRNGKey(0)  # unused by the NVE step
         # Charges ride the rebin whenever the state carries them — even
         # LJ-only runs must keep them bound to the right slots.
         route_q = state.charges is not None
         fn = jax.shard_map(
             partial(_rollout_local, num_steps, rebin_every),
             mesh=mesh,
-            in_specs=(spec,) * 8 + (rep, rep) + ((spec,) if route_q else ()),
+            in_specs=(spec,) * 8 + (rep, rep, rep) + ((spec,) if route_q else ()),
             out_specs=(spec,) * 8 + (rep, rep) + ((spec,) if route_q else (rep,)),
             check_vma=False,
         )
         args = (
             state.positions, state.velocities, state.inv_masses, state.half_sigma,
             state.twice_sqrt_eps, state.atom_id, state.valid, state.ref_positions,
-            state.step, state.overflow,
+            state.step, state.overflow, rng,
         ) + ((state.charges,) if route_q else ())
         (pos, vel, inv_m, hs, tse, aid, valid, ref, step, overflow, q_out) = fn(*args)
         return state._replace(

@@ -337,12 +337,17 @@ def make_molecular_dense_sim(
                 )
 
             def extra_forces(state, eaux):
+                from emdee_tpu.potentials.bonded import bonded_forces_analytic
+
                 btabs, cbind = eaux
                 pos = _pos_ext(state)
                 b = _state_box(state, config)
                 f = jnp.zeros_like(pos)
                 if btabs is not None:
-                    f = f - jax.grad(lambda p: btabs.energy(p, b))(pos)
+                    # Hand gradients: one gather/scatter set vs autodiff's
+                    # forward + recomputed backward — the gather wall is the
+                    # whole cost of bonded terms on TPU.
+                    f = f + bonded_forces_analytic(pos, b, btabs)
                 if cbind is not None:
                     f = f + corr[1](pos, cbind, b)
                 return f[:-1].reshape(state.positions.shape)

@@ -464,10 +464,17 @@ def _make_kernel(
     dims=None,
     excl_e: int = 0,
     excl_cs: bool = False,
+    rows_per_program: int = 1,
 ):
     """dims=(mz, my, mx): interior cell-grid shape this kernel instance runs
     over — cubic (M, M, M) on one chip, a shard's local block under
-    shard_map (distributed/grid_sharded.py)."""
+    shard_map (distributed/grid_sharded.py).
+
+    rows_per_program: (z, y) pencils per grid program — amortizes the fixed
+    per-program cost (prologue, DMA waits, MXU dispatch latency) and batches
+    the center-expansion and segment-reduction matmuls across pencils; the
+    last program's overhang sub-pencils are guarded out."""
+    rpp = rows_per_program
     c = config.capacity
     mz, my, mx = dims if dims is not None else (config.cells_per_dim,) * 3
     gz_n = mz + 2
@@ -501,8 +508,7 @@ def _make_kernel(
         if compute_energy:
             (e_out, w_out, er_out, wr_out) = outs[4:]
         i = pl.program_id(0)
-        cz = i // my
-        cy = i - cz * my
+        n_rows = mz * my
 
         @pl.when(i == 0)
         def _zero():
@@ -536,8 +542,6 @@ def _make_kernel(
             out += jnp.dot(lo, sb, preferred_element_type=jnp.float32)
             return out
 
-        cen_all = mm(centers[0], expand[...])  # one batched expansion: (nC, M·C)
-        cen = _unpack_centers(cen_all, c, uniform, coulomb is not None, excl_e, excl_cs)
         ghost_by_name = {"x": gx, "y": gy, "z": gz}
         if not uniform:
             ghost_by_name["hs"] = ghs
@@ -547,49 +551,73 @@ def _make_kernel(
         if excl_e:
             ghost_by_name["aid"] = gaid
 
-        def load(name, dz, dy, win):
-            row = (cz + dz + 1) * gy_n + (cy + dy + 1)
-            return ghost_by_name[name][pl.ds(row, 1), pl.ds(win, mc)]
+        def make_load(cz, cy):
+            def load(name, dz, dy, win):
+                row = (cz + dz + 1) * gy_n + (cy + dy + 1)
+                return ghost_by_name[name][pl.ds(row, 1), pl.ds(win, mc)]
 
-        pair_pass = _build_pair_pass(
-            c=c, mc=mc, gc=g * c, rs2=rs2, invd2=invd2, n_newton=n_newton,
-            interpret=interpret, compute_energy=compute_energy,
-            uniform_params=uniform_params, coulomb=coulomb,
-            excl_e=excl_e, excl_cs=excl_cs, is_self=is_self[...],
-            load=load, cen=cen,
-        )
+            return load
 
-        zero_tile = jnp.zeros((c, mc), jnp.float32)
-        acc = (zero_tile, zero_tile, zero_tile, zero_tile, zero_tile)
-        acc, _ = pair_pass(0, 0, 0, True, acc)
-        # Group the half-shell by (dz, dy): the 3 dx-windows of one ghost row
-        # combine into a single read-modify-write per row (5 rows, not 13).
+        # ONE batched center expansion for every sub-pencil: (rpp·nC, M·C).
+        n_cen_c = centers.shape[1]
+        cen_alls = mm(centers[...].reshape(rpp * n_cen_c, m), expand[...])
+
+        n_fields = 5 if compute_energy else 3
         by_row = {}
         for dz, dy, dx in _HALF_SHELL:
             by_row.setdefault((dz, dy), []).append(dx)
-        for (dz, dy), dxs in by_row.items():
-            row = (cz + dz + 1) * gy_n + (cy + dy + 1)
-            parts = []
-            for dx in dxs:
-                acc, reaction = pair_pass(dz, dy, dx, False, acc)
-                parts.append(reaction)
-            combined = [sum(p[k] for p in parts) for k in range(len(parts[0]))]
-            react[pl.ds(row, 1), :] += combined[0]
-            react[pl.ds(gz_n * gy_n + row, 1), :] += combined[1]
-            react[pl.ds(2 * gz_n * gy_n + row, 1), :] += combined[2]
-            if compute_energy:
-                er_out[pl.ds(row, 1), :] += combined[3]
-                wr_out[pl.ds(row, 1), :] += combined[4]
+        accs = []
+        for r in range(rpp):
+            row_lin = i * rpp + r
+            cz = row_lin // my
+            cy = row_lin - cz * my
+            cen = _unpack_centers(
+                cen_alls[r * n_cen_c : (r + 1) * n_cen_c], c, uniform,
+                coulomb is not None, excl_e, excl_cs,
+            )
+            pair_pass = _build_pair_pass(
+                c=c, mc=mc, gc=g * c, rs2=rs2, invd2=invd2, n_newton=n_newton,
+                interpret=interpret, compute_energy=compute_energy,
+                uniform_params=uniform_params, coulomb=coulomb,
+                excl_e=excl_e, excl_cs=excl_cs, is_self=is_self[...],
+                load=make_load(cz, cy), cen=cen,
+            )
 
-        n_fields = 5 if compute_energy else 3
-        stacked = jnp.concatenate(acc[:n_fields], axis=0)  # (n·C, M·C)
-        reduced = segsum(stacked)  # (n·C, M)
-        fx[0] = reduced[0:c]
-        fy[0] = reduced[c : 2 * c]
-        fz[0] = reduced[2 * c : 3 * c]
-        if compute_energy:
-            e_out[0] = reduced[3 * c : 4 * c]
-            w_out[0] = reduced[4 * c : 5 * c]
+            zero_tile = jnp.zeros((c, mc), jnp.float32)
+            acc = (zero_tile, zero_tile, zero_tile, zero_tile, zero_tile)
+            acc, _ = pair_pass(0, 0, 0, True, acc)
+            # Group the half-shell by (dz, dy): the 3 dx-windows of one ghost
+            # row combine into a single read-modify-write per row (5, not 13).
+            for (dz, dy), dxs in by_row.items():
+                row = (cz + dz + 1) * gy_n + (cy + dy + 1)
+                parts = []
+                for dx in dxs:
+                    acc, reaction = pair_pass(dz, dy, dx, False, acc)
+                    parts.append(reaction)
+                combined = [sum(p[k] for p in parts) for k in range(len(parts[0]))]
+
+                @pl.when(row_lin < n_rows)  # guard the last program's overhang
+                def _rmw(row=row, combined=combined):
+                    react[pl.ds(row, 1), :] += combined[0]
+                    react[pl.ds(gz_n * gy_n + row, 1), :] += combined[1]
+                    react[pl.ds(2 * gz_n * gy_n + row, 1), :] += combined[2]
+                    if compute_energy:
+                        er_out[pl.ds(row, 1), :] += combined[3]
+                        wr_out[pl.ds(row, 1), :] += combined[4]
+
+            accs.append(acc[:n_fields])
+
+        # ONE batched segment reduction across every sub-pencil's fields.
+        stacked = jnp.concatenate([t for acc in accs for t in acc], axis=0)
+        reduced = segsum(stacked)  # (rpp·n·C, M)
+        for r in range(rpp):
+            base = r * n_fields * c
+            fx[r] = reduced[base : base + c]
+            fy[r] = reduced[base + c : base + 2 * c]
+            fz[r] = reduced[base + 2 * c : base + 3 * c]
+            if compute_energy:
+                e_out[r] = reduced[base + 3 * c : base + 4 * c]
+                w_out[r] = reduced[base + 4 * c : base + 5 * c]
 
     return kernel
 
@@ -633,12 +661,16 @@ def pallas_cell_forces(
         state, config, uniform=uniform,
         kc=0.0 if coulomb is None else coulomb[4], excl=excl,
     )
+    import os
+
+    rpp = int(os.environ.get("EMDEE_ROWS_PER_PROG", "1"))
     outs = halfshell_call(
         inputs, config, (m, m, m),
         compute_energy=compute_energy, interpret=interpret,
         uniform_params=uniform_params, coulomb=coulomb,
         excl_e=0 if excl is None else excl[0].shape[-1],
         excl_cs=excl is not None and excl[2] is not None,
+        rows_per_program=rpp,
     )
 
     def uncenter(a):  # (M², C, M) → (M³, C)
@@ -671,6 +703,7 @@ def halfshell_call(
     coulomb=None,
     excl_e: int = 0,
     excl_cs: bool = False,
+    rows_per_program: int = 1,
 ):
     """Raw half-shell pallas_call over a pre-built ghost grid — no folding.
 
@@ -690,10 +723,11 @@ def halfshell_call(
     invd2 = 1.0 / (rc2 - rs2)
     uniform = uniform_params is not None
 
+    rpp = max(1, rows_per_program)
     kernel = _make_kernel(
         config, (rs2, invd2), compute_energy, interpret,
         uniform_params=uniform_params, coulomb=coulomb, dims=dims,
-        excl_e=excl_e, excl_cs=excl_cs,
+        excl_e=excl_e, excl_cs=excl_cs, rows_per_program=rpp,
     )
 
     # Pallas TPU blocks must have their last dims 128-divisible or full —
@@ -706,14 +740,14 @@ def halfshell_call(
     n_cen = n_ghost - (1 if excl_e else 0) + excl_e * (3 if excl_cs else 2)
     ghost_spec = pl.BlockSpec((gz * gy, gx * c), lambda i: (0, 0), memory_space=pltpu.VMEM)
     center_spec = pl.BlockSpec(
-        (1, n_cen * c, mx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (rpp, n_cen * c, mx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     const_specs = [
         pl.BlockSpec((c, mc), lambda i: (0, 0), memory_space=pltpu.VMEM),  # is_self
         pl.BlockSpec((mx, mc), lambda i: (0, 0), memory_space=pltpu.VMEM),  # expand
         pl.BlockSpec((mc, mx), lambda i: (0, 0), memory_space=pltpu.VMEM),  # seg bf16
     ]
-    out_center = pl.BlockSpec((1, c, mx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_center = pl.BlockSpec((rpp, c, mx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out_react = pl.BlockSpec(
         (3 * gz * gy, gx * c), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
@@ -736,7 +770,7 @@ def halfshell_call(
         out_specs += [out_center, out_center, out_ghost1, out_ghost1]
 
     call_kwargs = dict(
-        grid=(mz * my,),
+        grid=(-(-(mz * my) // rpp),),
         in_specs=[ghost_spec] * n_ghost + [center_spec] + const_specs,
         out_specs=out_specs,
         out_shape=out_shapes,

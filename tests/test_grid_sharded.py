@@ -202,3 +202,33 @@ def test_grid_streaming_interpret_matches_xla():
     ps, vs = gather_grid_atoms(out_s, config, n)
     np.testing.assert_allclose(ps, px, atol=1e-4)
     np.testing.assert_allclose(vs, vx, atol=1e-4)
+
+
+def test_grid_csvr_thermostat_relaxes_to_target():
+    """CSVR on the 3D grid-sharded engine: the kinetic energy is a 3-axis
+    psum and the PRNG key is replicated, so all shards apply the identical
+    global rescale.  Starting cold, the sharded rollout must heat to the
+    target temperature — and NVE rollouts must be bitwise-unchanged by the
+    rng plumbing."""
+    import jax
+
+    from emdee_tpu.neighbors.cell_dense import CSVRConfig
+
+    st, config, model, n = _setup(n=1024, density=0.12, T=0.2)
+    mesh = make_grid_mesh((2, 2, 2))
+    st_sh = distribute_grid(st, config, mesh)
+    r_nvt, _ = make_grid_sharded_sim(
+        config, model, 0.004, mesh, backend="xla",
+        thermostat=CSVRConfig(temperature=1.0, tau=0.2),
+    )
+    out = r_nvt(st_sh, num_steps=500, rebin_every=5, rng=jax.random.PRNGKey(4))
+    assert not bool(out.overflow)
+    v = np.asarray(out.velocities)
+    valid = np.asarray(out.valid)
+    t1 = float((v[valid] ** 2).sum()) / (3.0 * n - 3.0)
+    assert 0.8 < t1 < 1.25
+
+    r_nve, _ = make_grid_sharded_sim(config, model, 0.004, mesh, backend="xla")
+    a = r_nve(st_sh, num_steps=20, rebin_every=5)
+    b = r_nve(st_sh, num_steps=20, rebin_every=5, rng=jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(np.asarray(a.positions), np.asarray(b.positions))

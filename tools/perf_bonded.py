@@ -60,6 +60,9 @@ def run(with_bonded: bool, steps=200):
     ).astype(np.int32)
     ljs = np.zeros(len(pairs), np.float32)
 
+    # k = 0 everywhere: identical gather/compute/scatter COST, zero forces —
+    # the synthetic "bonds" connect atoms that are far apart in the melt, so
+    # nonzero k would blow up the dynamics and overflow the run.
     bonded = None
     if with_bonded:
         nb = len(pairs)
@@ -68,7 +71,7 @@ def run(with_bonded: bool, steps=200):
         bonds = BondTable(
             atoms=jnp.asarray(np.concatenate([pairs, np.full((pad, 2), n, np.int32)])),
             length=jnp.asarray(np.concatenate([np.full(nb, 1.1, np.float32), np.zeros(pad, np.float32)])),
-            k=jnp.asarray(np.concatenate([np.full(nb, 50.0, np.float32), np.zeros(pad, np.float32)])),
+            k=jnp.asarray(np.concatenate([np.zeros(nb, np.float32), np.zeros(pad, np.float32)])),
             valid=jnp.asarray(np.arange(cap) < nb),
         )
         trip = np.stack([base, base + 1, base + 2], 1).astype(np.int32)
@@ -78,7 +81,7 @@ def run(with_bonded: bool, steps=200):
         angles = AngleTable(
             atoms=jnp.asarray(np.concatenate([trip, np.full((pad_a, 3), n, np.int32)])),
             theta0=jnp.asarray(np.concatenate([np.full(na, 1.9, np.float32), np.zeros(pad_a, np.float32)])),
-            k=jnp.asarray(np.concatenate([np.full(na, 20.0, np.float32), np.zeros(pad_a, np.float32)])),
+            k=jnp.asarray(np.concatenate([np.zeros(na, np.float32), np.zeros(pad_a, np.float32)])),
             valid=jnp.asarray(np.arange(cap_a) < na),
         )
         bonded = BondedSystem(bonds=bonds, angles=angles, torsions=None, impropers=None)
