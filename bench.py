@@ -20,10 +20,17 @@ Measurement contract (BASELINE.md):
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent compile cache: consecutive bench runs (the BASELINE.md
+# "three runs agree" contract) skip the multi-minute tunnel compiles when
+# the backend supports serialized executables.  Harmless otherwise.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/emdee_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
 def numerics_check(atol_rel: float = 5e-4) -> float:

@@ -205,3 +205,29 @@ def test_streaming_kernel_charged_with_exclusions_matches_xla():
     np.testing.assert_allclose(
         np.asarray(w_s)[valid], np.asarray(w_x)[valid], atol=1e-3
     )
+
+
+def test_kernel_rows_per_program_matches_default():
+    """Multi-pencil programs (rows_per_program > 1, including a ragged last
+    program) must agree with the default one-pencil grid — only reaction
+    accumulation order changes (f32 roundoff)."""
+    from emdee_tpu.neighbors.pallas_cell_kernel import _prep_inputs, halfshell_call
+
+    st, config, model, n = _setup()
+    m = config.cells_per_dim
+    assert (m * m) % 3 != 0  # exercises the overhang guard
+    inputs = _prep_inputs(st, config, uniform=False)
+    rs2 = float(config.switch) ** 2
+    rc2 = float(config.cutoff) ** 2
+
+    outs1 = halfshell_call(
+        inputs, config, (m, m, m), interpret=True, rows_per_program=1,
+    )
+    outs3 = halfshell_call(
+        inputs, config, (m, m, m), interpret=True, rows_per_program=3,
+    )
+    for a, b in zip(outs1[:3], outs3[:3]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(outs3[3]), np.asarray(outs1[3]), atol=1e-4
+    )
