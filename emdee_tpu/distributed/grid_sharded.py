@@ -149,11 +149,12 @@ def make_grid_sharded_sim(
     shard); slot tags are rebuilt per shard after each rebin and compared
     in-pass — the multi-chip version of the kernel-resident exclusions.
 
-    thermostat: optional `cell_dense.CSVRConfig` — the Bussi global rescale
-    per step; the kinetic energy is a 3-axis psum and the PRNG key is
-    replicated, so every shard computes the identical α (one collective
-    per step, no extra communication rounds).  The rollout then requires
-    an `rng` argument.
+    thermostat: optional `cell_dense.CSVRConfig` (Bussi global rescale per
+    step — kinetic energy via 3-axis psum, replicated PRNG key → identical
+    α on every shard, one collective per step) or `cell_dense.LangevinConfig`
+    (BAOAB — per-shard noise from the replicated key folded with the shard
+    index, no communication at all).  The rollout then requires an `rng`
+    argument.
     """
     mz, my, mx = validate_grid_config(config, mesh)
     sizes = tuple(mesh.shape[ax] for ax in AXES)
@@ -641,6 +642,39 @@ def make_grid_sharded_sim(
     def _rollout_local(num_steps, rebin_every, pos, vel, inv_m, hs, tse, aid,
                        valid, ref, step, overflow, rng, q=None):
         def make_one_step(inv_m, hs, tse, valid, q, aid, aux):
+            from emdee_tpu.neighbors.cell_dense import LangevinConfig as _LC
+
+            if isinstance(thermostat, _LC):
+                # Per-shard-distinct noise: fold the linear shard index into
+                # the (replicated) step key.
+                shard_lin = (
+                    jax.lax.axis_index(AXES[0]) * (sizes[1] * sizes[2])
+                    + jax.lax.axis_index(AXES[1]) * sizes[2]
+                    + jax.lax.axis_index(AXES[2])
+                )
+                kT = thermostat.kB * thermostat.temperature
+                c1 = float(np.exp(-thermostat.friction * dt))
+                c2 = float(np.sqrt((1.0 - c1 * c1) * kT))
+
+                def one_step(carry, _):
+                    pos, vel, f, key = carry
+                    # BAOAB: kick, half drift, OU solve, half drift, kick.
+                    v = vel + (0.5 * dt_f) * f * inv_m[..., None]
+                    x = pos + (0.5 * dt_f) * v
+                    key, sub = jax.random.split(key)
+                    noise = jax.random.normal(
+                        jax.random.fold_in(sub, shard_lin), v.shape, v.dtype
+                    )
+                    v = c1 * v + c2 * jnp.sqrt(inv_m[..., None]) * noise
+                    x = x + (0.5 * dt_f) * v
+                    x = jnp.where(valid[..., None], x, pos)
+                    f_new = forces_of(x, hs, tse, valid, q, aid, aux)
+                    v_new = v + (0.5 * dt_f) * f_new * inv_m[..., None]
+                    v_new = jnp.where(valid[..., None], v_new, 0.0)
+                    return (x, v_new, f_new, key), None
+
+                return one_step
+
             def one_step(carry, _):
                 pos, vel, f, key = carry
                 v_half = vel + (0.5 * dt_f) * f * inv_m[..., None]

@@ -204,22 +204,30 @@ def test_grid_streaming_interpret_matches_xla():
     np.testing.assert_allclose(vs, vx, atol=1e-4)
 
 
-def test_grid_csvr_thermostat_relaxes_to_target():
-    """CSVR on the 3D grid-sharded engine: the kinetic energy is a 3-axis
-    psum and the PRNG key is replicated, so all shards apply the identical
-    global rescale.  Starting cold, the sharded rollout must heat to the
-    target temperature — and NVE rollouts must be bitwise-unchanged by the
-    rng plumbing."""
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("kind", ["csvr", "langevin"])
+def test_grid_thermostat_relaxes_to_target(kind):
+    """Thermostats on the 3D grid-sharded engine: CSVR (KE psum + replicated
+    key → identical global rescale on all shards) and Langevin (per-shard
+    noise via key fold-in).  Starting cold, the sharded rollout must heat to
+    the target temperature — and NVE rollouts must be bitwise-unchanged by
+    the rng plumbing."""
     import jax
 
-    from emdee_tpu.neighbors.cell_dense import CSVRConfig
+    from emdee_tpu.neighbors.cell_dense import CSVRConfig, LangevinConfig
 
     st, config, model, n = _setup(n=1024, density=0.12, T=0.2)
     mesh = make_grid_mesh((2, 2, 2))
     st_sh = distribute_grid(st, config, mesh)
+    thermostat = (
+        CSVRConfig(temperature=1.0, tau=0.2)
+        if kind == "csvr"
+        else LangevinConfig(temperature=1.0, friction=2.0)
+    )
     r_nvt, _ = make_grid_sharded_sim(
-        config, model, 0.004, mesh, backend="xla",
-        thermostat=CSVRConfig(temperature=1.0, tau=0.2),
+        config, model, 0.004, mesh, backend="xla", thermostat=thermostat,
     )
     out = r_nvt(st_sh, num_steps=500, rebin_every=5, rng=jax.random.PRNGKey(4))
     assert not bool(out.overflow)
