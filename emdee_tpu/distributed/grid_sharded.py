@@ -131,6 +131,7 @@ def make_grid_sharded_sim(
     coulomb=None,
     excl_tables=None,
     thermostat=None,
+    barostat=None,
 ):
     """(rollout, energy) closures; state is grid-layout, mesh-sharded.
 
@@ -155,12 +156,27 @@ def make_grid_sharded_sim(
     (BAOAB — per-shard noise from the replicated key folded with the shard
     index, no communication at all).  The rollout then requires an `rng`
     argument.
+
+    barostat: optional `cell_dense.BerendsenBarostatConfig` — Berendsen
+    μ-rescale of positions and the (dynamic, replicated) box at every rebin
+    boundary, with the pressure from a psum'd energy/virial pass.  The
+    sticky flag trips if the box shrinks past M·(rc + skin) (the static cell
+    count no longer fits) — re-derive the config and redistribute to
+    continue.
     """
     mz, my, mx = validate_grid_config(config, mesh)
     sizes = tuple(mesh.shape[ax] for ax in AXES)
     m = config.cells_per_dim
     c = config.capacity
-    box = jnp.float32(config.box)
+    # Dynamic (NPT) box: helpers read the CURRENT traced box through this
+    # trace-time routing cell — set from the shard_map argument at entry and
+    # updated by the barostat's μ-rescale, so every ghost shift, wrap and
+    # binning inside the region sees the live value.
+    box_cell = [jnp.float32(config.box)]
+
+    def _box():
+        return box_cell[0]
+
     dt_f = jnp.float32(dt)
     if backend == "auto":
         backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
@@ -235,7 +251,7 @@ def make_grid_sharded_sim(
         coord_axis: grid axis whose coordinate this field is (box shifts at
         the global seam), or None."""
         for axis in (0, 1, 2):
-            shift = box if coord_axis == axis else None
+            shift = _box() if coord_axis == axis else None
             lo, hi = _halo(x, axis, coord_shift=shift)
             x = jnp.concatenate([lo, x, hi], axis=axis)
         return x
@@ -588,6 +604,7 @@ def make_grid_sharded_sim(
         flat = lambda a: a.reshape((ncl,) + a.shape[3:])
         posf = flat(pos)
         validf = flat(valid)
+        box = _box()
         posw = jnp.where(validf[..., None], posf - jnp.floor(posf / box) * box, 0.0)
         fields = [posw[..., 0], posw[..., 1], posw[..., 2]]
         fields += [flat(vel)[..., i] for i in range(3)]
@@ -606,7 +623,7 @@ def make_grid_sharded_sim(
             cf = _COORD_OF_AXIS[axis]
             fields, validf, overflow = _route_axis_pass(
                 fields, validf, overflow, cf, _b_global(axis), m, config,
-                spill_eps, _nbr_factory(axis),
+                spill_eps, _nbr_factory(axis), box=box,
             )
         unflat = lambda a: a.reshape((mz, my, mx) + a.shape[1:])
         new_pos = jnp.stack(fields[0:3], axis=-1)
@@ -625,6 +642,7 @@ def make_grid_sharded_sim(
         )
 
     def _needs_rebin_local(pos, ref, valid):
+        box = _box()
         dvv = pos - ref
         dvv = dvv - jnp.round(dvv / box) * box
         d2 = jnp.sum(dvv * dvv, axis=-1)
@@ -640,7 +658,8 @@ def make_grid_sharded_sim(
     # ---- rollout under one shard_map ----
 
     def _rollout_local(num_steps, rebin_every, pos, vel, inv_m, hs, tse, aid,
-                       valid, ref, step, overflow, rng, q=None):
+                       valid, ref, step, overflow, rng, boxv, q=None):
+        box_cell[0] = boxv
         def make_one_step(inv_m, hs, tse, valid, q, aid, aux):
             from emdee_tpu.neighbors.cell_dense import LangevinConfig as _LC
 
@@ -707,7 +726,35 @@ def make_grid_sharded_sim(
             return one_step
 
         def run_block(carry, length):
-            pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f, q, key = carry
+            pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f, q, key, boxv = carry
+            box_cell[0] = boxv
+            if barostat is not None:
+                # Berendsen μ-rescale at the block boundary (the single-chip
+                # engine's protocol, with the pressure psum'd over shards).
+                aid_f = _aid_of(aid, valid) if has_excl else None
+                _, e_l, w_l = _local_forces_xla(
+                    pos, hs, tse, valid, q, aid_f, _aux_of(aid), compute_energy=True
+                )
+                pvk = jnp.stack([
+                    jnp.sum(jnp.where(valid, w_l, 0.0)),
+                    0.5 * jnp.sum(jnp.where(
+                        valid[..., None], vel**2 / jnp.maximum(inv_m[..., None], 1e-30), 0.0
+                    )),
+                ])
+                for ax in AXES:
+                    pvk = jax.lax.psum(pvk, ax)
+                p_inst = (2.0 * pvk[1] + pvk[0]) / (3.0 * boxv**3)
+                mu3 = 1.0 - (length * dt / barostat.tau) * barostat.kappa * (
+                    barostat.pressure - p_inst
+                )
+                mu = jnp.clip(mu3, 0.9, 1.1) ** (1.0 / 3.0)
+                boxv = boxv * mu
+                box_cell[0] = boxv
+                pos = pos * mu
+                ref = ref * mu
+                overflow = overflow | (
+                    boxv < config.cells_per_dim * (config.cutoff + config.skin)
+                )
             (pos, vel, inv_m, hs, tse, aid, valid, overflow, f, ref, q) = _rebin_local(
                 pos, vel, inv_m, hs, tse, aid, valid, overflow, f, q
             )
@@ -717,11 +764,11 @@ def make_grid_sharded_sim(
                 (pos, vel, f, key), None, length=length,
             )
             overflow = overflow | _needs_rebin_local(pos, ref, valid)
-            return (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f, q, key)
+            return (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f, q, key, boxv)
 
         f0 = forces_of(pos, hs, tse, valid, q, aid, _aux_of(aid))
         blocks, rem = divmod(num_steps, rebin_every)
-        carry = (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f0, q, rng)
+        carry = (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f0, q, rng, boxv)
         if blocks:
             carry, _ = jax.lax.scan(
                 lambda cr, _: (run_block(cr, rebin_every), None), carry, None,
@@ -729,13 +776,13 @@ def make_grid_sharded_sim(
             )
         if rem:
             carry = run_block(carry, rem)
-        (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f, q, _key) = carry
+        (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f, q, _key, boxv) = carry
         overflow = _all_reduce_or(overflow)
         # A concrete dummy when chargeless: shard_map out_specs need a leaf.
         q_out = q if q is not None else jnp.zeros((), jnp.float32)
         return (
             pos, vel, inv_m, hs, tse, aid, valid, ref, step + num_steps,
-            overflow, q_out,
+            overflow, boxv, q_out,
         )
 
     @partial(jax.jit, static_argnames=("num_steps", "rebin_every"))
@@ -750,27 +797,32 @@ def make_grid_sharded_sim(
         # Charges ride the rebin whenever the state carries them — even
         # LJ-only runs must keep them bound to the right slots.
         route_q = state.charges is not None
+        from emdee_tpu.neighbors.cell_dense import _state_box
+
+        boxv = _state_box(state, config)
         fn = jax.shard_map(
             partial(_rollout_local, num_steps, rebin_every),
             mesh=mesh,
-            in_specs=(spec,) * 8 + (rep, rep, rep) + ((spec,) if route_q else ()),
-            out_specs=(spec,) * 8 + (rep, rep) + ((spec,) if route_q else (rep,)),
+            in_specs=(spec,) * 8 + (rep, rep, rep, rep) + ((spec,) if route_q else ()),
+            out_specs=(spec,) * 8 + (rep, rep, rep) + ((spec,) if route_q else (rep,)),
             check_vma=False,
         )
         args = (
             state.positions, state.velocities, state.inv_masses, state.half_sigma,
             state.twice_sqrt_eps, state.atom_id, state.valid, state.ref_positions,
-            state.step, state.overflow, rng,
+            state.step, state.overflow, rng, boxv,
         ) + ((state.charges,) if route_q else ())
-        (pos, vel, inv_m, hs, tse, aid, valid, ref, step, overflow, q_out) = fn(*args)
+        (pos, vel, inv_m, hs, tse, aid, valid, ref, step, overflow, box_out, q_out) = fn(*args)
         return state._replace(
             positions=pos, velocities=vel, inv_masses=inv_m, half_sigma=hs,
             twice_sqrt_eps=tse, atom_id=aid, valid=valid, ref_positions=ref,
             step=step, overflow=overflow,
             charges=q_out if route_q else None,
+            box=box_out if (barostat is not None or state.box is not None) else state.box,
         )
 
-    def _energy_local(pos, vel, inv_m, hs, tse, valid, aid, q=None):
+    def _energy_local(pos, vel, inv_m, hs, tse, valid, aid, boxv, q=None):
+        box_cell[0] = boxv
         aid_f = _aid_of(aid, valid) if has_excl else None
         f, e, w = _local_forces_xla(
             pos, hs, tse, valid, q, aid_f, _aux_of(aid), compute_energy=True
@@ -787,16 +839,19 @@ def make_grid_sharded_sim(
 
     @jax.jit
     def energy(state: CellDenseState):
+        from emdee_tpu.neighbors.cell_dense import _state_box
+
         fn = jax.shard_map(
             _energy_local,
             mesh=mesh,
-            in_specs=(spec,) * 7 + ((spec,) if has_q else ()),
+            in_specs=(spec,) * 7 + (rep,) + ((spec,) if has_q else ()),
             out_specs=(rep, rep, rep),
             check_vma=False,
         )
         args = (
             state.positions, state.velocities, state.inv_masses,
             state.half_sigma, state.twice_sqrt_eps, state.valid, state.atom_id,
+            _state_box(state, config),
         ) + ((state.charges,) if has_q else ())
         return fn(*args)
 

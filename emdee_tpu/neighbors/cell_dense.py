@@ -203,16 +203,15 @@ def estimate_kernel_vmem_bytes(config: CellDenseConfig) -> int:
 
 
 def suggest_rebin_interval(
-    skin: float, dt: float, temperature: float, mass: float = 1.0, vmax_sigmas: float = 5.0
+    skin: float, dt: float, temperature: float, mass: float = 1.0, vmax_sigmas: float = 6.0
 ) -> int:
     """Steps between rebins such that even a `vmax_sigmas`-sigma atom stays
     within skin/2 of its bin-time position: K = (skin/2) / (vmax·dt).
 
-    The bound already assumes the atom SUSTAINS vmax for the whole interval
-    (velocities decorrelate far faster), and every rollout re-checks the
-    skin/2 displacement per block and trips the sticky overflow flag on
-    violation — so 5σ is conservative-with-a-backstop, worth ~25% fewer
-    rebins than the round-2 6σ default."""
+    6σ is MEASURED, not paranoia: a 5σ default (25% fewer rebins) was tried
+    and the per-block skin/2 staleness gate tripped at the 97k benchmark —
+    an atom sustained ≥5.1σ across a block — so anything looser than ~6σ
+    produces invalid runs.  The sticky overflow flag remains the backstop."""
     vmax = vmax_sigmas * np.sqrt(temperature / mass)
     return max(1, int(np.floor(0.5 * skin / (vmax * dt))))
 

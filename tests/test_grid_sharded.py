@@ -240,3 +240,59 @@ def test_grid_thermostat_relaxes_to_target(kind):
     a = r_nve(st_sh, num_steps=20, rebin_every=5)
     b = r_nve(st_sh, num_steps=20, rebin_every=5, rng=jax.random.PRNGKey(9))
     np.testing.assert_array_equal(np.asarray(a.positions), np.asarray(b.positions))
+
+
+def test_grid_npt_relaxes_pressure():
+    """Berendsen NPT on the 3D grid-sharded engine: pressure from a psum'd
+    energy pass, μ-rescale of positions + the replicated dynamic box at
+    rebin boundaries.  From a compressed liquid above the target pressure,
+    the box must expand and the pressure must move toward the target."""
+    import jax
+
+    from emdee_tpu.neighbors.cell_dense import (
+        BerendsenBarostatConfig,
+        CSVRConfig,
+        _state_box,
+    )
+    from emdee_tpu.utils.lattice import fcc_lattice
+
+    pos, box = fcc_lattice(6, density=0.85)  # 864 atoms
+    n = pos.shape[0]
+    vel = maxwell_boltzmann(n, 1.0, seed=31)
+    params = lennard_jones_atom(np.ones(n), np.ones(n))
+    config = suggest_cell_dense_config(n, box, cutoff=2.5, switch=2.0, skin=0.35)
+    m = (config.cells_per_dim // 2) * 2
+    config = config._replace(cells_per_dim=max(m, 8))
+    model = LennardJonesModel.create(2.5, 2.0)
+    st = cell_dense_init(pos, vel, np.ones(n), params, config)
+    assert not bool(st.overflow)
+
+    mesh = make_grid_mesh((2, 2, 2))
+    st_sh = distribute_grid(st, config, mesh)
+    target_p = 0.5
+    nvt, energy = make_grid_sharded_sim(
+        config, model, 0.004, mesh, backend="xla",
+        thermostat=CSVRConfig(temperature=1.0, tau=0.2),
+    )
+    npt, _ = make_grid_sharded_sim(
+        config, model, 0.004, mesh, backend="xla",
+        thermostat=CSVRConfig(temperature=1.0, tau=0.2),
+        barostat=BerendsenBarostatConfig(pressure=target_p, tau=0.4, kappa=1.0),
+    )
+
+    def pressure(state):
+        pe, vir, ke = (float(x) for x in energy(state))
+        b = float(_state_box(state, config))
+        return (2.0 * ke + vir) / (3.0 * b**3)
+
+    st_sh = nvt(st_sh, num_steps=300, rebin_every=5, rng=jax.random.PRNGKey(7))
+    assert not bool(st_sh.overflow)
+    p0 = pressure(st_sh)
+    assert p0 > 1.5
+
+    out = npt(st_sh, num_steps=600, rebin_every=5, rng=jax.random.PRNGKey(13))
+    assert not bool(out.overflow)
+    b1 = float(out.box)
+    assert b1 > box * 1.01
+    p1 = pressure(out)
+    assert abs(p1 - target_p) < 0.5 * abs(p0 - target_p)
