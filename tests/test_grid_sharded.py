@@ -256,18 +256,17 @@ def test_grid_npt_relaxes_pressure():
     )
     from emdee_tpu.utils.lattice import fcc_lattice
 
-    pos, box = fcc_lattice(6, density=0.85)  # 864 atoms
+    pos, box = fcc_lattice(7, density=0.85)  # 1372 atoms, box ≈ 11.7
     n = pos.shape[0]
     vel = maxwell_boltzmann(n, 1.0, seed=31)
     params = lennard_jones_atom(np.ones(n), np.ones(n))
     config = suggest_cell_dense_config(n, box, cutoff=2.5, switch=2.0, skin=0.35)
-    m = (config.cells_per_dim // 2) * 2
-    config = config._replace(cells_per_dim=max(m, 8))
+    assert config.cells_per_dim == 4  # h = box/4 ≈ 2.93 ≥ rc + skin
     model = LennardJonesModel.create(2.5, 2.0)
     st = cell_dense_init(pos, vel, np.ones(n), params, config)
     assert not bool(st.overflow)
 
-    mesh = make_grid_mesh((2, 2, 2))
+    mesh = make_grid_mesh((2, 1, 1))
     st_sh = distribute_grid(st, config, mesh)
     target_p = 0.5
     nvt, energy = make_grid_sharded_sim(
