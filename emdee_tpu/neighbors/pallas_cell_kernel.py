@@ -477,6 +477,10 @@ def _make_kernel(
     rpp = rows_per_program
     c = config.capacity
     mz, my, mx = dims if dims is not None else (config.cells_per_dim,) * 3
+    # Overhang guards are only needed when the grid over-covers the rows —
+    # unconditional pl.when regions around the reaction RMWs break Mosaic's
+    # scheduling (measured: the guarded rpp=1 kernel lost ~20%).
+    _ragged = (-(-(mz * my) // rpp)) * rpp != (mz * my)
     gz_n = mz + 2
     gy_n = my + 2
     gx_n = mx + 2
@@ -596,7 +600,6 @@ def _make_kernel(
                     parts.append(reaction)
                 combined = [sum(p[k] for p in parts) for k in range(len(parts[0]))]
 
-                @pl.when(row_lin < n_rows)  # guard the last program's overhang
                 def _rmw(row=row, combined=combined):
                     react[pl.ds(row, 1), :] += combined[0]
                     react[pl.ds(gz_n * gy_n + row, 1), :] += combined[1]
@@ -604,6 +607,11 @@ def _make_kernel(
                     if compute_energy:
                         er_out[pl.ds(row, 1), :] += combined[3]
                         wr_out[pl.ds(row, 1), :] += combined[4]
+
+                if _ragged:
+                    pl.when(row_lin < n_rows)(_rmw)  # last program's overhang
+                else:
+                    _rmw()
 
             accs.append(acc[:n_fields])
 
