@@ -976,6 +976,41 @@ def detect_uniform_params(params: LJParams):
     return None
 
 
+def resolve_dense_backend(
+    config: CellDenseConfig,
+    backend: str = "auto",
+    *,
+    with_coulomb: bool = False,
+    with_excl: bool = False,
+) -> str:
+    """Resolve 'auto' to the concrete engine backend for this device/config.
+
+    Only TPU-like backends can lower the Mosaic kernel ('axon' is the
+    remote-TPU tunnel); GPU and CPU fall back to the portable XLA path.
+    Exposed so wrappers (cell_dense_molecular) can make backend-dependent
+    choices — e.g. in-kernel bond absorption — BEFORE building the sim."""
+    if backend != "auto":
+        return backend
+    backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+    est = estimate_kernel_vmem_bytes(config)
+    if with_coulomb:
+        est = est * 7 // 5  # + charge ghost/center fields
+    if with_excl:
+        est = est * 6 // 5  # + atom-id ghost and exclusion tag rows
+    if backend == "pallas" and est > 13_000_000:
+        # The whole-problem-in-VMEM kernel tops out around ~150k atoms;
+        # beyond that the HBM-streaming kernel variant takes over
+        # (half-shell + full molecular support, like the resident one).
+        import logging
+
+        logging.getLogger(__name__).info(
+            "cell-dense auto backend: VMEM estimate %.1f MB > 13 MB — "
+            "using the HBM-streaming Pallas kernel", est / 1e6,
+        )
+        backend = "pallas_streaming"
+    return backend
+
+
 def make_cell_dense_sim(
     config: CellDenseConfig,
     model: LennardJonesModel,
@@ -1042,26 +1077,10 @@ def make_cell_dense_sim(
     dt_f = jnp.float32(dt)
     box = jnp.float32(config.box)
 
-    if backend == "auto":
-        # Only TPU-like backends can lower the Mosaic kernel ('axon' is the
-        # remote-TPU tunnel); GPU and CPU fall back to the portable XLA path.
-        backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
-        est = estimate_kernel_vmem_bytes(config)
-        if coulomb is not None:
-            est = est * 7 // 5  # + charge ghost/center fields
-        if aux_fn is not None:
-            est = est * 6 // 5  # + atom-id ghost and exclusion tag rows
-        if backend == "pallas" and est > 13_000_000:
-            # The whole-problem-in-VMEM kernel tops out around ~150k atoms;
-            # beyond that the HBM-streaming kernel variant takes over
-            # (half-shell + full molecular support, like the resident one).
-            import logging
-
-            logging.getLogger(__name__).info(
-                "cell-dense auto backend: VMEM estimate %.1f MB > 13 MB — "
-                "using the HBM-streaming Pallas kernel", est / 1e6,
-            )
-            backend = "pallas_streaming"
+    backend = resolve_dense_backend(
+        config, backend, with_coulomb=coulomb is not None,
+        with_excl=aux_fn is not None,
+    )
     if backend in ("pallas", "pallas_interpret", "pallas_streaming"):
         from emdee_tpu.neighbors.pallas_cell_kernel import (
             pallas_cell_forces,
@@ -1092,9 +1111,13 @@ def make_cell_dense_sim(
         def energy_forces(state, aux=None):
             # Observables are off the hot path, and the kernel's energy
             # variant needs 4 extra VMEM outputs (OOMs at large capacity) —
-            # use the portable XLA path for them.
+            # use the portable XLA path for them.  Bond tags (aux[3:], the
+            # in-kernel harmonic bonds) are deliberately dropped: the energy
+            # bookkeeping adds the FULL bonded energy via extra_energy, so
+            # the pair energy must stay bond-free.
             return cell_dense_forces(
-                state, model, config, coulomb, aux, compute_energy=True
+                state, model, config, coulomb,
+                aux if aux is None else aux[:3], compute_energy=True
             )
     else:
 

@@ -43,6 +43,7 @@ from emdee_tpu.neighbors.cell_dense import (
     _state_box,
     cell_dense_init,
     make_cell_dense_sim,
+    resolve_dense_backend,
     suggest_cell_dense_config,
 )
 from emdee_tpu.neighbors.neighbor_force import apply_exclusion_corrections
@@ -50,7 +51,8 @@ from emdee_tpu.potentials.lennard_jones import LennardJonesModel
 
 
 def build_exclusion_tables(
-    num_atoms, pairs, lj_scales, coulomb_scales=None, pad_e=None, band_e=None
+    num_atoms, pairs, lj_scales, coulomb_scales=None, pad_e=None, band_e=None,
+    bonds=None,
 ):
     """(N+1, E) atom-indexed exclusion tag tables (host-side, numpy).
 
@@ -64,7 +66,19 @@ def build_exclusion_tables(
     in-band only if BOTH atoms' rows have space (the kernel checks whichever
     atom lands as the pair's center); the remainder is returned as leftover
     (pairs, lj_scales, coulomb_scales) for the slot-space correction term.
-    With band_e set the return is ((ids, mlj, mcs), leftover)."""
+    With band_e set the return is ((ids, mlj, mcs), leftover).
+
+    bonds = (bond_pairs (B,2), k (B,), r0 (B,)): harmonic-bond parameters to
+    piggyback on the tag slots — a bond's (i,j) IS a 1-2 exclusion pair, so
+    the kernel's per-pair id match identifies it for free and two extra
+    weight tables (k, k·r0 at the matching slot) let the pair pass evaluate
+    the bond force in-kernel, removing the bond rows from the gather-bound
+    scatter path (53% of the bonded rows in water-dominated systems).
+    Bonded pairs are inserted FIRST (so they win band slots and sit in a
+    compact E_b-wide prefix), and the return grows to
+    (tabs, leftover, (kb, kr0, kr02) | None, absorbed (B,) bool) — leftover
+    is always present (empty when band_e is None); a bond is `absorbed`
+    only when its exclusion pair landed in-band AND it appeared in `pairs`."""
     pairs = np.asarray(pairs)
     lj_scales = np.asarray(lj_scales, np.float32)
     cs = None if coulomb_scales is None else np.asarray(coulomb_scales, np.float32)
@@ -72,7 +86,28 @@ def build_exclusion_tables(
     partners = [[] for _ in range(n)]
     leftover = []
     counts = np.zeros(n, np.int64)
-    for k in range(len(pairs)):
+    order = range(len(pairs))
+    bond_of = {}
+    absorbed = None
+    if bonds is not None:
+        bond_pairs, bond_k, bond_r0 = bonds
+        bond_pairs = np.asarray(bond_pairs)
+        bond_k = np.asarray(bond_k, np.float32)
+        bond_r0 = np.asarray(bond_r0, np.float32)
+        absorbed = np.zeros(len(bond_pairs), bool)
+        for b in range(len(bond_pairs)):
+            bi, bj = int(bond_pairs[b, 0]), int(bond_pairs[b, 1])
+            bond_of[(min(bi, bj), max(bi, bj))] = b
+        is_bond = np.array(
+            [
+                (min(int(pairs[k, 0]), int(pairs[k, 1])),
+                 max(int(pairs[k, 0]), int(pairs[k, 1]))) in bond_of
+                for k in range(len(pairs))
+            ],
+            bool,
+        ) if len(pairs) else np.zeros(0, bool)
+        order = list(np.flatnonzero(is_bond)) + list(np.flatnonzero(~is_bond))
+    for k in order:
         i, j = int(pairs[k, 0]), int(pairs[k, 1])
         if i >= n or j >= n:
             continue  # padding rows
@@ -80,8 +115,13 @@ def build_exclusion_tables(
         if band_e is not None and (counts[i] >= band_e or counts[j] >= band_e):
             leftover.append((i, j, lj_scales[k], 0.0 if s_c is None else s_c))
             continue
-        partners[i].append((j, lj_scales[k], s_c))
-        partners[j].append((i, lj_scales[k], s_c))
+        b = bond_of.get((min(i, j), max(i, j)))
+        kb = r0b = 0.0
+        if b is not None:
+            absorbed[b] = True
+            kb, r0b = float(bond_k[b]), float(bond_r0[b])
+        partners[i].append((j, lj_scales[k], s_c, kb, r0b))
+        partners[j].append((i, lj_scales[k], s_c, kb, r0b))
         counts[i] += 1
         counts[j] += 1
     e_n = max((len(p) for p in partners), default=0)
@@ -93,19 +133,33 @@ def build_exclusion_tables(
     ids = np.full((n + 1, e_n), -1.0, np.float32)
     mlj = np.zeros((n + 1, e_n), np.float32)
     mcs = np.zeros((n + 1, e_n), np.float32) if cs is not None else None
+    kb_t = np.zeros((n + 1, e_n), np.float32)
+    kr0_t = np.zeros((n + 1, e_n), np.float32)
+    kr02_t = np.zeros((n + 1, e_n), np.float32)
+    e_b = 0
     for i, plist in enumerate(partners):
-        for e, (j, s_lj, s_c) in enumerate(plist):
+        for e, (j, s_lj, s_c, kb, r0b) in enumerate(plist):
             ids[i, e] = float(j)
             mlj[i, e] = 1.0 - s_lj
             if mcs is not None:
                 mcs[i, e] = 1.0 - s_c
+            if kb:
+                kb_t[i, e] = kb
+                kr0_t[i, e] = kb * r0b
+                kr02_t[i, e] = kb * r0b * r0b
+                e_b = max(e_b, e + 1)
     tabs = (
         jnp.asarray(ids),
         jnp.asarray(mlj),
         None if mcs is None else jnp.asarray(mcs),
     )
-    if band_e is None:
-        return tabs
+    bond_tabs = None
+    if e_b:
+        bond_tabs = (
+            jnp.asarray(kb_t[:, :e_b]),
+            jnp.asarray(kr0_t[:, :e_b]),
+            jnp.asarray(kr02_t[:, :e_b]),
+        )
     if leftover:
         lo = np.asarray([(i, j) for i, j, _, _ in leftover], np.int32)
         lo_lj = np.asarray([s for _, _, s, _ in leftover], np.float32)
@@ -114,24 +168,66 @@ def build_exclusion_tables(
         lo, lo_lj, lo_cs = np.zeros((0, 2), np.int32), np.zeros(0, np.float32), (
             None if cs is None else np.zeros(0, np.float32)
         )
+    if bonds is not None:
+        return tabs, (lo, lo_lj, lo_cs), bond_tabs, absorbed
+    if band_e is None:
+        return tabs
     return tabs, (lo, lo_lj, lo_cs)
 
 
-def make_exclusion_aux_fn(num_atoms, ids_tab, mlj_tab, mcs_tab):
-    """aux_fn(state) → slot-space (ids, mlj, mcs) tags.
+def _without_absorbed_bonds(bonded, absorbed):
+    """BondedSystem with the kernel-absorbed bonds dropped from the gather
+    path (angles/torsions shared).  `absorbed` indexes the VALID bonds in
+    table order; the padded table is rebuilt from the remainder."""
+    from emdee_tpu.potentials.bonded import BondTable
+
+    bt = bonded.bonds
+    bvalid = np.asarray(bt.valid)
+    keep_valid = np.zeros(len(bvalid), bool)
+    keep_valid[np.flatnonzero(bvalid)[~absorbed]] = True
+    nb = int(keep_valid.sum())
+    if nb == 0:
+        return bonded._replace(bonds=None)
+    cap = -(-nb // 8) * 8
+    pad = cap - nb
+    atoms = np.concatenate(
+        [np.asarray(bt.atoms)[keep_valid],
+         np.full((pad, 2), np.asarray(bt.atoms).max(), np.int64)]
+    )
+    length = np.concatenate([np.asarray(bt.length)[keep_valid], np.zeros(pad, np.float32)])
+    k = np.concatenate([np.asarray(bt.k)[keep_valid], np.zeros(pad, np.float32)])
+    return bonded._replace(
+        bonds=BondTable(
+            atoms=jnp.asarray(atoms, jnp.int32),
+            length=jnp.asarray(length, jnp.float32),
+            k=jnp.asarray(k, jnp.float32),
+            valid=jnp.asarray(np.arange(cap) < nb),
+        )
+    )
+
+
+def make_exclusion_aux_fn(num_atoms, ids_tab, mlj_tab, mcs_tab, bond_tabs=None):
+    """aux_fn(state) → slot-space (ids, mlj, mcs[, (kb, kr0, kr02)]) tags.
 
     One (M³·C)-row gather from the static atom-indexed tables, re-run after
     every rebin (slot↔atom binding only changes there) — amortized over the
     rebin interval instead of a per-step atom-space round trip.
-    """
+
+    bond_tabs: optional (kb, kr0, kr02) harmonic-bond weight tables aligned
+    with the tag slots (see `build_exclusion_tables(bonds=...)`) — gathered
+    alongside and appended as a 4th aux element for the Pallas kernels'
+    in-kernel bond evaluation."""
 
     def aux_fn(state: CellDenseState):
         idx = jnp.minimum(state.atom_id, num_atoms)  # sentinel → pad row
-        return (
+        out = (
             ids_tab[idx],
             mlj_tab[idx],
             None if mcs_tab is None else mcs_tab[idx],
         )
+        if bond_tabs is not None:
+            out += ((bond_tabs[0][idx], bond_tabs[1][idx], bond_tabs[2][idx]),)
+        return out
 
     return aux_fn
 
@@ -192,11 +288,19 @@ def make_slot_pair_correction(
             mre = mre + w_c * mre_c
         return i, j, dv, r2, e, mre
 
-    def force(pos_ext, slot_ij, box):
+    def force_rows(pos_ext, slot_ij, box):
+        """(idx, contrib) scatter rows — merged by the caller with the bonded
+        rows into one scatter-add (XLA's per-scatter fixed cost dominates a
+        few-thousand-pair table: measured 1.31 ms standalone vs ~0.1 ms when
+        riding the bonded scatter at the 97k molecular benchmark)."""
         i, j, dv, r2, _, mre = _terms(pos_ext, slot_ij, box)
         f_ij = (mre / jnp.maximum(r2, 1e-30))[:, None] * dv
-        f = jnp.zeros_like(pos_ext)
-        return f.at[i].add(-f_ij).at[j].add(f_ij)
+        return jnp.concatenate([i, j]), jnp.concatenate([-f_ij, f_ij])
+
+    def force(pos_ext, slot_ij, box):
+        idx, contrib = force_rows(pos_ext, slot_ij, box)
+        return jnp.zeros_like(pos_ext).at[idx].add(contrib)
+    force.rows = force_rows
 
     def energy_virial(pos_ext, slot_ij, box):
         _, _, _, _, e, mre = _terms(pos_ext, slot_ij, box)
@@ -286,8 +390,37 @@ def make_molecular_dense_sim(
                 if exclusion_scales_coulomb is not None
                 else exclusion_scales
             )
-        leftover = None
-        if exclusion_band is not None:
+        # In-kernel harmonic bonds: on the Pallas backends the bond force
+        # rides the exclusion-tag id match (build_exclusion_tables(bonds=…)),
+        # removing the bond rows from the gather-bound scatter path — the
+        # XLA backend keeps the full gather path (its pair loop carries no
+        # bond tags), so resolve the backend FIRST.
+        resolved = resolve_dense_backend(
+            config, backend, with_coulomb=coulomb is not None, with_excl=True,
+        )
+        absorb_bonds = (
+            bonded is not None
+            and bonded.bonds is not None
+            and resolved in ("pallas", "pallas_interpret", "pallas_streaming")
+        )
+        bonded_force_sys = bonded
+        bond_tabs = None
+        if absorb_bonds:
+            bt = bonded.bonds
+            bvalid = np.asarray(bt.valid)
+            bond_arg = (
+                np.asarray(bt.atoms)[bvalid],
+                np.asarray(bt.k)[bvalid],
+                np.asarray(bt.length)[bvalid],
+            )
+            tabs, leftover, bond_tabs, absorbed = build_exclusion_tables(
+                num_atoms, exclusion_pairs, exclusion_scales, cs_for_tables,
+                band_e=exclusion_band, bonds=bond_arg,
+            )
+            bonded_force_sys = _without_absorbed_bonds(bonded, absorbed)
+            if leftover[0].shape[0] == 0:
+                leftover = None
+        elif exclusion_band is not None:
             tabs, leftover = build_exclusion_tables(
                 num_atoms, exclusion_pairs, exclusion_scales, cs_for_tables,
                 band_e=exclusion_band,
@@ -295,10 +428,11 @@ def make_molecular_dense_sim(
             if leftover[0].shape[0] == 0:
                 leftover = None
         else:
+            leftover = None
             tabs = build_exclusion_tables(
                 num_atoms, exclusion_pairs, exclusion_scales, cs_for_tables,
             )
-        aux_fn = make_exclusion_aux_fn(num_atoms, *tabs)
+        aux_fn = make_exclusion_aux_fn(num_atoms, *tabs, bond_tabs=bond_tabs)
         corr = None
         if leftover is not None:
             corr = make_slot_pair_correction(
@@ -315,18 +449,29 @@ def make_molecular_dense_sim(
             # 100k atoms on TPU).
             ns = config.num_slots
 
-            def extra_aux_fn(state):
+            def _atom_slot(state):
                 ids = jnp.where(state.valid, state.atom_id, num_atoms).reshape(-1)
-                atom_slot = (
+                return (
                     jnp.full((num_atoms + 1,), ns, jnp.int32)
                     .at[ids]
                     .set(jnp.arange(ns, dtype=jnp.int32))
                 )
+
+            def extra_aux_fn(state):
+                atom_slot = _atom_slot(state)
                 # Invalid slots all target the pad row; whatever index lands
                 # there only feeds `valid=False` terms, whose energy (and
-                # therefore gradient) is select-masked to zero.
+                # therefore gradient) is select-masked to zero.  The FORCE
+                # path remaps `bonded_force_sys` — with in-kernel bond
+                # absorption its bond table holds only the not-absorbed
+                # remainder (often none at all).
+                btabs = None
+                if bonded_force_sys is not None and any(
+                    t is not None for t in bonded_force_sys
+                ):
+                    btabs = bonded_force_sys.remap(atom_slot)
                 return (
-                    bonded.remap(atom_slot) if bonded is not None else None,
+                    btabs,
                     corr[0](atom_slot) if corr is not None else None,
                 )
 
@@ -337,30 +482,47 @@ def make_molecular_dense_sim(
                 )
 
             def extra_forces(state, eaux):
-                from emdee_tpu.potentials.bonded import bonded_forces_analytic
+                from emdee_tpu.potentials.bonded import bonded_force_rows
 
                 btabs, cbind = eaux
                 pos = _pos_ext(state)
                 b = _state_box(state, config)
-                f = jnp.zeros_like(pos)
+                # Hand gradients (one gather/scatter set vs autodiff's forward
+                # + recomputed backward), and ONE merged scatter-add across
+                # every term family AND the leftover correction — per-scatter
+                # fixed cost dominates the small tables (the 4.5k-pair
+                # correction alone measured 1.31 ms as its own scatter).
+                idxs, contribs = [], []
                 if btabs is not None:
-                    # Hand gradients: one gather/scatter set vs autodiff's
-                    # forward + recomputed backward — the gather wall is the
-                    # whole cost of bonded terms on TPU.
-                    f = f + bonded_forces_analytic(pos, b, btabs)
+                    idx, contrib = bonded_force_rows(pos, b, btabs)
+                    idxs.append(idx)
+                    contribs.append(contrib)
                 if cbind is not None:
-                    f = f + corr[1](pos, cbind, b)
+                    idx, contrib = corr[1].rows(pos, cbind, b)
+                    idxs.append(idx)
+                    contribs.append(contrib)
+                if not idxs:  # every bond absorbed in-kernel, nothing else
+                    return jnp.zeros_like(state.positions)
+                f = jnp.zeros_like(pos).at[jnp.concatenate(idxs)].add(
+                    jnp.concatenate(contribs)
+                )
                 return f[:-1].reshape(state.positions.shape)
 
             def extra_energy(state, eaux):
-                btabs, cbind = eaux
+                _, cbind = eaux
                 pos = _pos_ext(state)
                 b = _state_box(state, config)
                 pe = jnp.float32(0.0)
                 vir = jnp.float32(0.0)
-                if btabs is not None:
-                    pe = pe + btabs.energy(pos, b)
-                    vir = vir + btabs.virial(pos, b)
+                if bonded is not None:
+                    # The FULL bonded system (including any bonds the force
+                    # kernel absorbed as tags): the energy path's pair terms
+                    # come from the bond-tag-free XLA engine, so the whole
+                    # bonded energy/virial belongs here — off the hot path,
+                    # the extra remap is irrelevant.
+                    btabs_full = bonded.remap(_atom_slot(state))
+                    pe = pe + btabs_full.energy(pos, b)
+                    vir = vir + btabs_full.virial(pos, b)
                 if cbind is not None:
                     pe_c, vir_c = corr[2](pos, cbind, b)
                     pe = pe + pe_c
@@ -368,7 +530,7 @@ def make_molecular_dense_sim(
                 return pe, vir
 
         return make_cell_dense_sim(
-            config, model, dt, backend=backend, rebin=rebin, coulomb=coulomb,
+            config, model, dt, backend=resolved, rebin=rebin, coulomb=coulomb,
             extra_forces=extra_forces, extra_energy=extra_energy, aux_fn=aux_fn,
             extra_aux_fn=extra_aux_fn, thermostat=thermostat, barostat=barostat,
         )

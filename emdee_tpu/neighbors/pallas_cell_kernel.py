@@ -180,14 +180,17 @@ def _prep_inputs(
     uniform: bool = False,
     kc: float = 0.0,
     excl=None,
+    bond_energy: bool = False,
 ):
     """XLA-side data prep: ghost rows + transposed center arrays.
 
     kc > 0 adds a charge field pre-scaled by √kc (so the kernel's qᵢ'·qⱼ'
     product is already kc·qᵢ·qⱼ — one fewer multiply per pair).
 
-    excl = (ids, mlj, mcs): slot-space exclusion tags — adds the neighbor
-    atom-id ghost field and 2-3·E center rows (ids exact in f32)."""
+    excl = (ids, mlj, mcs[, (kb, kr0, kr02)]): slot-space exclusion tags —
+    adds the neighbor atom-id ghost field and 2-3·E center rows (ids exact
+    in f32); the optional 4th element appends 2·E_b harmonic-bond weight
+    rows (3·E_b with `bond_energy` for the kernel's energy variant)."""
     m, c = config.cells_per_dim, config.capacity
     g = m + 2
     pos = _sentinel_positions(state, config)
@@ -218,7 +221,7 @@ def _prep_inputs(
         ghosts.append(_ghost(grid(qs), m).reshape(g * g, g * c))
         cen_fields.append(center(qs))
     if excl is not None:
-        ids, mlj, mcs = excl
+        ids, mlj, mcs = excl[:3]
         aid_f = jnp.where(state.valid, state.atom_id, -2).astype(jnp.float32)
         ghosts.append(_ghost(grid(aid_f), m).reshape(g * g, g * c))
         e_n = ids.shape[-1]
@@ -226,6 +229,14 @@ def _prep_inputs(
         cen_fields += [center(mlj[..., e]) for e in range(e_n)]
         if mcs is not None:
             cen_fields += [center(mcs[..., e]) for e in range(e_n)]
+        bond = excl[3] if len(excl) > 3 else None
+        if bond is not None:
+            kb, kr0, kr02 = bond
+            e_b = kb.shape[-1]
+            cen_fields += [center(kb[..., e]) for e in range(e_b)]
+            cen_fields += [center(kr0[..., e]) for e in range(e_b)]
+            if bond_energy:
+                cen_fields += [center(kr02[..., e]) for e in range(e_b)]
     centers = jnp.concatenate(cen_fields, axis=1)  # (M², n·C, M)
     return tuple(ghosts) + (centers,) + _const_tiles(m, c)
 
@@ -258,7 +269,7 @@ _ERFC_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
 _TWO_OVER_SQRT_PI = 1.1283791670955126
 
 
-def _unpack_centers(cen_all, c, uniform, has_q, excl_e, excl_cs):
+def _unpack_centers(cen_all, c, uniform, has_q, excl_e, excl_cs, excl_eb=0, bond_energy=False):
     """Slice the batched (n·C, M·C) center expansion into named tiles."""
     cen = {"x": cen_all[0:c], "y": cen_all[c : 2 * c], "z": cen_all[2 * c : 3 * c]}
     nxt = 3 * c
@@ -279,6 +290,18 @@ def _unpack_centers(cen_all, c, uniform, has_q, excl_e, excl_cs):
                 cen_all[nxt + e * c : nxt + (e + 1) * c] for e in range(excl_e)
             ]
             nxt += excl_e * c
+    if excl_eb:
+        # Harmonic-bond weights at the matching tag slots (prefix width E_b):
+        # k and k·r0 for forces, +k·r0² for the energy variant.
+        cen["kb"] = [cen_all[nxt + e * c : nxt + (e + 1) * c] for e in range(excl_eb)]
+        nxt += excl_eb * c
+        cen["kr0"] = [cen_all[nxt + e * c : nxt + (e + 1) * c] for e in range(excl_eb)]
+        nxt += excl_eb * c
+        if bond_energy:
+            cen["kr02"] = [
+                cen_all[nxt + e * c : nxt + (e + 1) * c] for e in range(excl_eb)
+            ]
+            nxt += excl_eb * c
     return cen
 
 
@@ -299,6 +322,7 @@ def _build_pair_pass(
     is_self,
     load,
     cen,
+    excl_eb=0,
 ):
     """Shared pair-pass builder for the VMEM-resident and HBM-streaming
     kernels — ONE copy of the hot pair math, parameterized over how neighbor
@@ -356,6 +380,7 @@ def _build_pair_pass(
         if self_pass:
             t6 = t6 * (1.0 - is_self)
         csc = None
+        kb_acc = kr0_acc = kr02_acc = None
         if excl_e:
             # Kernel-resident exclusions: compare the neighbor's atom id
             # against the center's E tag ids (exact integers in f32) and
@@ -365,11 +390,26 @@ def _build_pair_pass(
             naid = load("aid", dz, dy, win)
             ljsc = 1.0
             csc = 1.0 if excl_cs else None
+            if excl_eb:
+                kb_acc = jnp.zeros_like(r2)
+                kr0_acc = jnp.zeros_like(r2)
+                if compute_energy:
+                    kr02_acc = jnp.zeros_like(r2)
             for e_i in range(excl_e):
                 match = (cen["eids"][e_i] == naid).astype(jnp.float32)
                 ljsc = ljsc - match * cen["mlj"][e_i]
                 if excl_cs:
                     csc = csc - match * cen["mcs"][e_i]
+                if excl_eb and e_i < excl_eb:
+                    # Harmonic bonds ride the SAME match bits (a bond is a
+                    # 1-2 exclusion pair, inserted first so its weights sit
+                    # in the E_b-wide tag prefix): accumulate k and k·r0,
+                    # then one force term below — removes the bond rows from
+                    # the gather-bound scatter path entirely.
+                    kb_acc = kb_acc + match * cen["kb"][e_i]
+                    kr0_acc = kr0_acc + match * cen["kr0"][e_i]
+                    if compute_energy:
+                        kr02_acc = kr02_acc + match * cen["kr02"][e_i]
             t6 = t6 * ljsc
         t12 = t6 * s6  # 4ε·s⁻¹²
         x = jnp.clip((r2 - rs2) * invd2, 0.0, 1.0)
@@ -383,6 +423,29 @@ def _build_pair_pass(
         pa = ((((-12.0 * x + (a_m + 60.0)) * x - (60.0 + 2.0 * a_m)) * x + a_m) * x) * x + 12.0
         pb = ((((24.0 * x + (a_m - 30.0)) * x - 2.0 * a_m) * x + a_m) * x) * x + 6.0
         tot = t12 * pa - t6 * pb  # switched −r·dE/dr
+        rs_inv = r = None
+        if excl_eb or coulomb is not None:
+            rs_inv = jnp.sqrt(rinv)  # 1/r (rinv is full-accuracy 1/r²)
+            r = r2 * rs_inv
+        e_b = None
+        if excl_eb:
+            # In-kernel harmonic bond: E = ½k(r−r0)² ⇒ −r·dE/dr =
+            # k·r0·r − k·r² with the tag-matched (kb, kr0) accumulators
+            # (zero on non-bonded pairs).  The f32 cancellation k·r0·r −
+            # k·r² ≈ k·(r0−r)·r loses ~2 digits of the ~4500 kJ/mol
+            # operand scale → ~2e-4 absolute in tot, well under the pair
+            # force noise floor.  The r² < rc² mask kills PERIODIC IMAGES
+            # of the partner: on a small grid (M=3-4) the stencil also
+            # reaches the partner's ±L ghost copies, whose ids match the
+            # tag too — their distance is ≥ L − r_bond ≥ 3(rc+skin) −
+            # r_bond > rc, so the true bond (r ≪ rc) is kept exactly.
+            rc2_b = rs2 + 1.0 / invd2
+            in_b = (r2 < rc2_b).astype(jnp.float32)
+            kb_m = kb_acc * in_b
+            kr0_m = kr0_acc * in_b
+            tot = tot + (kr0_m * r - kb_m * r2)
+            if compute_energy:
+                e_b = 0.5 * (kb_m * r2 + kr02_acc * in_b) - kr0_m * r
         e_c = None
         if coulomb is not None:
             # DSF Coulomb (potentials/coulomb.py), Mosaic-friendly: erfc
@@ -394,8 +457,6 @@ def _build_pair_pass(
                 qq = qq * (1.0 - is_self)
             if excl_e and csc is not None:
                 qq = qq * csc
-            rs_inv = jnp.sqrt(rinv)  # 1/r (rinv is full-accuracy 1/r²)
-            r = r2 * rs_inv
             ex = jnp.exp(-cl_alpha2 * r2)
             tden = 1.0 + (_ERFC_P * cl_alpha) * r
             t = _recip(tden, interpret, n_newton)
@@ -424,6 +485,8 @@ def _build_pair_pass(
             esw = (t12 - t6) * gsw
             if e_c is not None:
                 esw = esw + e_c
+            if e_b is not None:
+                esw = esw + e_b
             e_a += 0.5 * esw
             w_a += 0.5 * tot
         reaction = None
@@ -464,6 +527,7 @@ def _make_kernel(
     dims=None,
     excl_e: int = 0,
     excl_cs: bool = False,
+    excl_eb: int = 0,
     rows_per_program: int = 1,
 ):
     """dims=(mz, my, mx): interior cell-grid shape this kernel instance runs
@@ -578,13 +642,14 @@ def _make_kernel(
             cen = _unpack_centers(
                 cen_alls[r * n_cen_c : (r + 1) * n_cen_c], c, uniform,
                 coulomb is not None, excl_e, excl_cs,
+                excl_eb=excl_eb, bond_energy=compute_energy,
             )
             pair_pass = _build_pair_pass(
                 c=c, mc=mc, gc=g * c, rs2=rs2, invd2=invd2, n_newton=n_newton,
                 interpret=interpret, compute_energy=compute_energy,
                 uniform_params=uniform_params, coulomb=coulomb,
                 excl_e=excl_e, excl_cs=excl_cs, is_self=is_self[...],
-                load=make_load(cz, cy), cen=cen,
+                load=make_load(cz, cy), cen=cen, excl_eb=excl_eb,
             )
 
             zero_tile = jnp.zeros((c, mc), jnp.float32)
@@ -664,20 +729,23 @@ def pallas_cell_forces(
     if excl is not None and coulomb is not None and excl[2] is None:
         # Missing Coulomb scales default to the LJ scales (the
         # correction-pass convention) — never silently skip them.
-        excl = (excl[0], excl[1], excl[1])
+        excl = (excl[0], excl[1], excl[1]) + tuple(excl[3:])
     inputs = _prep_inputs(
         state, config, uniform=uniform,
         kc=0.0 if coulomb is None else coulomb[4], excl=excl,
+        bond_energy=compute_energy,
     )
     import os
 
     rpp = int(os.environ.get("EMDEE_ROWS_PER_PROG", "1"))
+    bond = None if excl is None or len(excl) < 4 else excl[3]
     outs = halfshell_call(
         inputs, config, (m, m, m),
         compute_energy=compute_energy, interpret=interpret,
         uniform_params=uniform_params, coulomb=coulomb,
         excl_e=0 if excl is None else excl[0].shape[-1],
         excl_cs=excl is not None and excl[2] is not None,
+        excl_eb=0 if bond is None else bond[0].shape[-1],
         rows_per_program=rpp,
     )
 
@@ -711,6 +779,7 @@ def halfshell_call(
     coulomb=None,
     excl_e: int = 0,
     excl_cs: bool = False,
+    excl_eb: int = 0,
     rows_per_program: int = 1,
 ):
     """Raw half-shell pallas_call over a pre-built ghost grid — no folding.
@@ -735,7 +804,7 @@ def halfshell_call(
     kernel = _make_kernel(
         config, (rs2, invd2), compute_energy, interpret,
         uniform_params=uniform_params, coulomb=coulomb, dims=dims,
-        excl_e=excl_e, excl_cs=excl_cs, rows_per_program=rpp,
+        excl_e=excl_e, excl_cs=excl_cs, excl_eb=excl_eb, rows_per_program=rpp,
     )
 
     # Pallas TPU blocks must have their last dims 128-divisible or full —
@@ -746,6 +815,7 @@ def halfshell_call(
         + (1 if excl_e else 0)
     )
     n_cen = n_ghost - (1 if excl_e else 0) + excl_e * (3 if excl_cs else 2)
+    n_cen += excl_eb * (3 if compute_energy else 2)
     ghost_spec = pl.BlockSpec((gz * gy, gx * c), lambda i: (0, 0), memory_space=pltpu.VMEM)
     center_spec = pl.BlockSpec(
         (rpp, n_cen * c, mx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -809,6 +879,7 @@ def _prep_streaming_inputs(
     uniform: bool = False,
     kc: float = 0.0,
     excl=None,
+    bond_energy: bool = False,
 ):
     """Ghost neighborhood as 5 per-(dz,dy) HALF-SHELL row views of shape
     (M², 1, G·C) per field.
@@ -837,7 +908,7 @@ def _prep_streaming_inputs(
         fields.append(_ghost(grid(qs), m))
         cen_fields.append(qs)
     if excl is not None:
-        ids, mlj, mcs = excl
+        ids, mlj, mcs = excl[:3]
         aid_f = jnp.where(state.valid, state.atom_id, -2).astype(jnp.float32)
         fields.append(_ghost(grid(aid_f), m))
         e_n = ids.shape[-1]
@@ -845,6 +916,14 @@ def _prep_streaming_inputs(
         cen_fields += [mlj[..., e] for e in range(e_n)]
         if mcs is not None:
             cen_fields += [mcs[..., e] for e in range(e_n)]
+        bond = excl[3] if len(excl) > 3 else None
+        if bond is not None:
+            kb, kr0, kr02 = bond
+            e_b = kb.shape[-1]
+            cen_fields += [kb[..., e] for e in range(e_b)]
+            cen_fields += [kr0[..., e] for e in range(e_b)]
+            if bond_energy:
+                cen_fields += [kr02[..., e] for e in range(e_b)]
 
     views = []
     for field in fields:
@@ -863,7 +942,7 @@ def _prep_streaming_inputs(
 def _make_streaming_kernel(
     config: CellDenseConfig, model_consts, compute_energy, interpret,
     uniform_params=None, coulomb=None, excl_e: int = 0, excl_cs: bool = False,
-    dims=None,
+    excl_eb: int = 0, dims=None,
 ):
     """dims=(mz, my, mx): interior cell-grid shape — cubic (M, M, M) on one
     chip, a shard's local block under shard_map."""
@@ -925,7 +1004,10 @@ def _make_streaming_kernel(
             return out
 
         cen_all = mm(centers[0], expand)
-        cen = _unpack_centers(cen_all, c, uniform, coulomb is not None, excl_e, excl_cs)
+        cen = _unpack_centers(
+            cen_all, c, uniform, coulomb is not None, excl_e, excl_cs,
+            excl_eb=excl_eb, bond_energy=compute_energy,
+        )
 
         def load(name, dz, dy, win):
             fi = names.index(name)
@@ -936,7 +1018,7 @@ def _make_streaming_kernel(
             interpret=interpret, compute_energy=compute_energy,
             uniform_params=uniform_params, coulomb=coulomb,
             excl_e=excl_e, excl_cs=excl_cs, is_self=is_self,
-            load=load, cen=cen,
+            load=load, cen=cen, excl_eb=excl_eb,
         )
 
         zero_tile = jnp.zeros((c, mc), jnp.float32)
@@ -977,6 +1059,7 @@ def streaming_halfshell_call(
     coulomb=None,
     excl_e: int = 0,
     excl_cs: bool = False,
+    excl_eb: int = 0,
 ):
     """Raw half-shell streaming pallas_call over pre-built row views.
 
@@ -999,11 +1082,12 @@ def streaming_halfshell_call(
     kernel = _make_streaming_kernel(
         config, (rs2, invd2), compute_energy, interpret,
         uniform_params=uniform_params, coulomb=coulomb,
-        excl_e=excl_e, excl_cs=excl_cs, dims=dims,
+        excl_e=excl_e, excl_cs=excl_cs, excl_eb=excl_eb, dims=dims,
     )
 
     n_f = 3 + (0 if uniform else 2) + (0 if coulomb is None else 1) + (1 if excl_e else 0)
     n_cen = n_f - (1 if excl_e else 0) + excl_e * (3 if excl_cs else 2)
+    n_cen += excl_eb * (3 if compute_energy else 2)
     n_r = 5 if compute_energy else 3
     ghost_spec = pl.BlockSpec((1, 1, gc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     center_spec = pl.BlockSpec((1, n_cen * c, mx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -1067,18 +1151,21 @@ def pallas_cell_forces_streaming(
     uniform = uniform_params is not None
     if excl is not None and coulomb is not None and excl[2] is None:
         # Missing Coulomb scales default to the LJ scales — never skip them.
-        excl = (excl[0], excl[1], excl[1])
+        excl = (excl[0], excl[1], excl[1]) + tuple(excl[3:])
     excl_e = 0 if excl is None else int(excl[0].shape[-1])
     excl_cs = excl is not None and excl[2] is not None
+    bond = None if excl is None or len(excl) < 4 else excl[3]
     views, centers = _prep_streaming_inputs(
         state, config, uniform=uniform,
         kc=0.0 if coulomb is None else coulomb[4], excl=excl,
+        bond_energy=compute_energy,
     )
     outs = streaming_halfshell_call(
         views, centers, config, (m, m, m),
         compute_energy=compute_energy, interpret=interpret,
         uniform_params=uniform_params, coulomb=coulomb,
         excl_e=excl_e, excl_cs=excl_cs,
+        excl_eb=0 if bond is None else int(bond[0].shape[-1]),
     )
 
     def uncenter(a):  # (M², C, M) → (M³, C)

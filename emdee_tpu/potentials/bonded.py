@@ -185,7 +185,11 @@ def _scatter_add3(forces, idx, contrib):
     return forces.at[idx].add(contrib)
 
 
-def bond_forces_into(forces, positions, box, table: BondTable):
+def bond_force_rows(positions, box, table: BondTable):
+    """(idx, contrib) scatter rows of the bond forces — callers combine the
+    rows of EVERY term family (and the exclusion leftover correction) into
+    one scatter-add: XLA's per-scatter fixed cost dominates small tables
+    (measured 73 ns/row for a 4.5k-pair scatter vs 9 ns/row at 65k rows)."""
     n = positions.shape[0]
     i = jnp.minimum(table.atoms[:, 0], n - 1)
     j = jnp.minimum(table.atoms[:, 1], n - 1)
@@ -194,10 +198,20 @@ def bond_forces_into(forces, positions, box, table: BondTable):
     # E = ½k(r−r0)² ⇒ f_i = −k(r−r0)·r̂, f_j = +k(r−r0)·r̂.
     coef = jnp.where(table.valid, -table.k * (r - table.length) / r, 0.0)
     f_i = coef[:, None] * rv
-    return _scatter_add3(_scatter_add3(forces, i, f_i), j, -f_i)
+    return jnp.concatenate([i, j]), jnp.concatenate([f_i, -f_i])
+
+
+def bond_forces_into(forces, positions, box, table: BondTable):
+    idx, contrib = bond_force_rows(positions, box, table)
+    return _scatter_add3(forces, idx, contrib)
 
 
 def angle_forces_into(forces, positions, box, table: AngleTable):
+    idx, contrib = angle_force_rows(positions, box, table)
+    return _scatter_add3(forces, idx, contrib)
+
+
+def angle_force_rows(positions, box, table: AngleTable):
     n = positions.shape[0]
     i = jnp.minimum(table.atoms[:, 0], n - 1)
     j = jnp.minimum(table.atoms[:, 1], n - 1)
@@ -217,12 +231,15 @@ def angle_forces_into(forces, positions, box, table: AngleTable):
     gk = (cos_t[:, None] * bh - ah) / (lb * sin_t)[:, None]
     f_i = -dE[:, None] * gi
     f_k = -dE[:, None] * gk
-    forces = _scatter_add3(forces, i, f_i)
-    forces = _scatter_add3(forces, k, f_k)
-    return _scatter_add3(forces, j, -(f_i + f_k))
+    return jnp.concatenate([i, k, j]), jnp.concatenate([f_i, f_k, -(f_i + f_k)])
 
 
 def torsion_forces_into(forces, positions, box, table: TorsionTable):
+    idx, contrib = torsion_force_rows(positions, box, table)
+    return _scatter_add3(forces, idx, contrib)
+
+
+def torsion_force_rows(positions, box, table: TorsionTable):
     n = positions.shape[0]
     ii = jnp.minimum(table.atoms[:, 0], n - 1)
     jj = jnp.minimum(table.atoms[:, 1], n - 1)
@@ -265,21 +282,39 @@ def torsion_forces_into(forces, positions, box, table: TorsionTable):
     f_j = -dE[:, None] * dphi_dj
     f_k = -dE[:, None] * dphi_dk
     f_l = -dE[:, None] * dphi_dl
-    forces = _scatter_add3(forces, ii, f_i)
-    forces = _scatter_add3(forces, jj, f_j)
-    forces = _scatter_add3(forces, kk, f_k)
-    return _scatter_add3(forces, ll, f_l)
+    return (
+        jnp.concatenate([ii, jj, kk, ll]),
+        jnp.concatenate([f_i, f_j, f_k, f_l]),
+    )
+
+
+def bonded_force_rows(positions, box, system: "BondedSystem"):
+    """Concatenated (idx, contrib) scatter rows of every bonded term family.
+
+    Callers fold these (plus any other slot-space per-pair rows, e.g. the
+    exclusion leftover correction) into ONE `forces.at[idx].add(contrib)` —
+    a single large scatter amortizes XLA's per-scatter fixed cost, which
+    dominates the small tables."""
+    idxs, contribs = [], []
+    for table, rows in (
+        (system.bonds, bond_force_rows),
+        (system.angles, angle_force_rows),
+        (system.torsions, torsion_force_rows),
+        (system.impropers, torsion_force_rows),
+    ):
+        if table is not None:
+            idx, contrib = rows(positions, box, table)
+            idxs.append(idx)
+            contribs.append(contrib)
+    if not idxs:
+        return (
+            jnp.zeros((0,), jnp.int32),
+            jnp.zeros((0, positions.shape[-1]), positions.dtype),
+        )
+    return jnp.concatenate(idxs), jnp.concatenate(contribs)
 
 
 def bonded_forces_analytic(positions, box, system: "BondedSystem"):
     """−∇E of all bonded terms via hand gradients (one gather/scatter set)."""
-    forces = jnp.zeros_like(positions)
-    if system.bonds is not None:
-        forces = bond_forces_into(forces, positions, box, system.bonds)
-    if system.angles is not None:
-        forces = angle_forces_into(forces, positions, box, system.angles)
-    if system.torsions is not None:
-        forces = torsion_forces_into(forces, positions, box, system.torsions)
-    if system.impropers is not None:
-        forces = torsion_forces_into(forces, positions, box, system.impropers)
-    return forces
+    idx, contrib = bonded_force_rows(positions, box, system)
+    return jnp.zeros_like(positions).at[idx].add(contrib)

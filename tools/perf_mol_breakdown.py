@@ -122,12 +122,24 @@ def main(reps=4, iters=60):
     def corr_fn(st):
         return corr[1](pos_ext(st), cbind, box)[:-1].reshape(st.positions.shape)
 
+    def merged_fn(st):
+        from emdee_tpu.potentials.bonded import bonded_force_rows
+
+        pos = pos_ext(st)
+        i1, c1 = bonded_force_rows(pos, box, btabs)
+        i2, c2 = corr[1].rows(pos, cbind, box)
+        f = jnp.zeros_like(pos).at[jnp.concatenate([i1, i2])].add(
+            jnp.concatenate([c1, c2])
+        )
+        return f[:-1].reshape(st.positions.shape)
+
     def full_fn(st):
-        return pair_fn(st) + bonded_fn(st) + corr_fn(st)
+        return pair_fn(st) + merged_fn(st)
 
     timed_scan("pair_streaming", pair_fn, state, iters)
     timed_scan("bonded_analytic", bonded_fn, state, iters)
     timed_scan("leftover_corr", corr_fn, state, iters)
+    timed_scan("merged_bonded_corr", merged_fn, state, iters)
     timed_scan("full_force", full_fn, state, iters)
 
     # rebin (per-rebin, amortize over rebin_every=6) + aux rebuild costs
