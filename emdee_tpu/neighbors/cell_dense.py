@@ -741,15 +741,27 @@ def cell_dense_init(
     charges=None,
 ) -> CellDenseState:
     """Host entry: pack (N, …) arrays into slot layout (with overflow retry
-    left to the caller via the flag)."""
+    left to the caller via the flag).
+
+    Input positions may lie outside [0, L) (PDB files routinely do); they
+    are binned from the raw values and STORED wrapped — the same convention
+    as every rebin — so the engine contract (stored coordinates consistent
+    with the assigned cell, raw ghost-shifted differences valid) holds from
+    step 0.  The XLA backend min-images every delta and never notices, but
+    the Pallas kernels and the grid-sharded halo shifts rely on it: an atom
+    at x = L + ε binned to cell 0 but stored unwrapped sits a full box away
+    from its seam neighbors and silently loses those pairs."""
     n = positions.shape[0]
     cell_override = None
     if config.spill:
+        p64 = np.asarray(positions, np.float64)
+        positions = p64 - np.floor(p64 / config.box) * config.box
         cell_ids, positions, _ = _spill_assign_np(positions, config)
         cell_override = jnp.asarray(cell_ids)
     positions = jnp.asarray(positions, jnp.float32)
+    stored_pos = positions - jnp.floor(positions / config.box) * config.box
     per_atom = {
-        "positions": (positions, 0.0),
+        "positions": (stored_pos, 0.0),
         "velocities": (jnp.asarray(velocities, jnp.float32), 0.0),
         "inv_masses": (1.0 / jnp.asarray(masses, jnp.float32), 0.0),
         "half_sigma": (jnp.asarray(params.half_sigma, jnp.float32), 0.0),

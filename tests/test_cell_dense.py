@@ -233,3 +233,40 @@ def test_spill_rollout_matches_allpairs():
     Lf = float(L)
     np.testing.assert_allclose(pos_d % Lf, np.asarray(ref.positions) % Lf, atol=5e-4)
     np.testing.assert_allclose(vel_d, np.asarray(ref.velocities), atol=5e-4)
+
+
+def test_init_wraps_out_of_range_positions():
+    """PDB files routinely contain coordinates just outside [0, L); binning
+    wraps them to a cell but the STORED coordinate must be wrapped too, or
+    every ghost-shift-based path (Pallas kernels, grid-sharded halos) places
+    the atom a full box from its seam neighbors and silently drops those
+    pairs (the XLA backend min-images each delta and masks the bug).
+    Regression: shift a band of atoms by ±L at init and require identical
+    forces from the Pallas kernel."""
+    from emdee_tpu.neighbors.pallas_cell_kernel import pallas_cell_forces
+
+    pos, vel, L, params, config, model = _setup(n=1728)
+    n = pos.shape[0]
+    rng = np.random.default_rng(7)
+    shift = rng.choice([-1.0, 0.0, 1.0], size=n, p=[0.1, 0.8, 0.1])
+    pos_off = np.asarray(pos, np.float64).copy()
+    pos_off[:, 0] += shift * float(L)
+
+    st_ref = cell_dense_init(pos, vel, np.ones(n), params, config)
+    st_off = cell_dense_init(pos_off, vel, np.ones(n), params, config)
+    assert not bool(st_ref.overflow) and not bool(st_off.overflow)
+    # Same binning, same stored (wrapped) coordinates (up to the f32
+    # rounding of the +-L shift, which steep LJ gradients amplify -- so the
+    # force contract below compares against the min-image-robust XLA path on
+    # the SAME state rather than across the two states).
+    np.testing.assert_array_equal(
+        np.asarray(st_ref.atom_id), np.asarray(st_off.atom_id)
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_ref.positions), np.asarray(st_off.positions), atol=1e-5
+    )
+
+    f_xla, _, _ = cell_dense_forces(st_off, model, config, compute_energy=True)
+    f_pal, _, _ = pallas_cell_forces(st_off, model, config, compute_energy=True,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(f_pal), np.asarray(f_xla), atol=1e-2)
