@@ -35,6 +35,7 @@ single-chip engine exactly.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -132,6 +133,10 @@ def make_grid_sharded_sim(
     excl_tables=None,
     thermostat=None,
     barostat=None,
+    bonded=None,
+    excl_leftover=None,
+    atom_params=None,
+    atom_charges=None,
 ):
     """(rollout, energy) closures; state is grid-layout, mesh-sharded.
 
@@ -163,6 +168,22 @@ def make_grid_sharded_sim(
     sticky flag trips if the box shrinks past M·(rc + skin) (the static cell
     count no longer fits) — re-derive the config and redistribute to
     continue.
+
+    bonded: optional `BondedSystem` with ATOM indices (replicated static
+    tables).  Bonds/angles/torsions are evaluated owner-computes on the
+    EXTENDED (ghost) grid: a term's partners are always within one cell of
+    its owner atom (term span ≪ cell side = rc + skin), so after the halo
+    exchange the owning shard already holds every position it needs; forces
+    scattered onto ghost slots ride the existing reverse reaction folds —
+    no extra communication.  Per-rebin bindings come from a psum-replicated
+    atom→global-slot map.  If a term ever spans > 1 cell (broken/stretched
+    topology), the sticky overflow flag trips.
+
+    excl_leftover: optional (pairs, lj_scales, coulomb_scales) exclusion
+    pairs BEYOND the kernel tag band (`build_exclusion_tables(band_e=…)`'s
+    leftover) — evaluated as −(1−s)·(LJ [+ DSF]) corrections on the same
+    extended-grid machinery.  Requires `atom_params` (atom-ordered LJParams)
+    and, with coulomb, `atom_charges`.
     """
     mz, my, mx = validate_grid_config(config, mesh)
     sizes = tuple(mesh.shape[ax] for ax in AXES)
@@ -212,6 +233,34 @@ def make_grid_sharded_sim(
     excl_e = 0 if not has_excl else int(excl_tables[0].shape[-1])
     excl_cs = has_excl and excl_tables[2] is not None
     n_tab = None if not has_excl else int(excl_tables[0].shape[0]) - 1
+
+    # ---- extended-grid bonded / leftover-exclusion terms ----
+    has_bonded = bonded is not None and any(t is not None for t in bonded)
+    has_leftover = excl_leftover is not None and len(excl_leftover[0]) > 0
+    has_terms = has_bonded or has_leftover
+    n_at = int(config.num_atoms)
+    n_ext = (mz + 2) * (my + 2) * (mx + 2) * c  # extended-grid slot count
+    if has_leftover:
+        if atom_params is None:
+            raise ValueError("excl_leftover needs atom-ordered LJ params")
+        lo_np = np.asarray(excl_leftover[0], np.int64)
+        lo_pi, lo_pj = lo_np[:, 0], lo_np[:, 1]
+        _hs = np.asarray(atom_params.half_sigma, np.float32)
+        _tse = np.asarray(atom_params.twice_sqrt_eps, np.float32)
+        lo_hs_i, lo_tse_i = jnp.asarray(_hs[lo_pi]), jnp.asarray(_tse[lo_pi])
+        lo_hs_j, lo_tse_j = jnp.asarray(_hs[lo_pj]), jnp.asarray(_tse[lo_pj])
+        lo_wlj = jnp.asarray(1.0 - np.asarray(excl_leftover[1], np.float32))
+        lo_pairs = jnp.asarray(lo_np, jnp.int32)
+        lo_has_q = has_q and atom_charges is not None
+        if lo_has_q:
+            _qn = np.asarray(atom_charges, np.float32)
+            lo_qi, lo_qj = jnp.asarray(_qn[lo_pi]), jnp.asarray(_qn[lo_pj])
+            _cs = (
+                excl_leftover[2]
+                if excl_leftover[2] is not None
+                else excl_leftover[1]
+            )
+            lo_wc = jnp.asarray(1.0 - np.asarray(_cs, np.float32))
 
     spec = P(*AXES)
     rep = P()
@@ -301,6 +350,209 @@ def make_grid_sharded_sim(
         far = _FAR + 7.0 * _global_slot_ids(c)
         return jnp.where(valid[..., None], pos, far[..., None])
 
+    # ---- extended-grid term bindings (bonded + leftover exclusions) ----
+    #
+    # Owner-computes on the ghost grid: for every term the shard owning the
+    # term's OWNER atom evaluates it, gathering partner positions from its
+    # (mz+2, my+2, mx+2, C) extended grid — chemistry guarantees partners sit
+    # within ±1 cell of the owner (spans ≪ cell side) — and scattering ghost
+    # forces that ride the existing reverse reaction folds.  The per-rebin
+    # binding needs one psum of an (N+1,) atom→global-slot map; every shard
+    # walks the full replicated term tables with an ownership mask (the pair
+    # pass, which dominates, is what actually scales).
+
+    def _atom_gslot_map(aid, valid):
+        """Replicated (N+1,) atom id → global slot id (cell·C + slot)."""
+        iz = (jax.lax.axis_index(AXES[0]) * mz + jnp.arange(mz, dtype=jnp.int32))
+        iy = (jax.lax.axis_index(AXES[1]) * my + jnp.arange(my, dtype=jnp.int32))
+        ix = (jax.lax.axis_index(AXES[2]) * mx + jnp.arange(mx, dtype=jnp.int32))
+        cell = (
+            iz[:, None, None] * m + iy[None, :, None]
+        ) * m + ix[None, None, :]
+        gslot = cell[..., None] * c + jnp.arange(c, dtype=jnp.int32)
+        ids = jnp.where(valid, aid, n_at).reshape(-1)
+        amap = jnp.zeros((n_at + 1,), jnp.int32).at[ids].set(gslot.reshape(-1))
+        for ax in AXES:
+            amap = jax.lax.psum(amap, ax)
+        return amap
+
+    def _ext_of(amap, atoms, owner_col, valid_rows):
+        """Term atoms (T, k) → extended-grid indices + ownership mask.
+
+        Non-owned (and pad) rows point at the n_ext pad slot.  Returns a
+        `bad` flag: an OWNED valid term whose partner strayed beyond ±1 cell
+        of the owner (impossible for intact topology) — OR'd into the sticky
+        overflow so broken physics can't pass silently."""
+        gs = amap[jnp.minimum(atoms, n_at)]  # (T, k)
+        slot = gs % c
+        cell = gs // c
+        cxg = cell % m
+        cyg = (cell // m) % m
+        czg = cell // (m * m)
+        sz = jax.lax.axis_index(AXES[0])
+        sy = jax.lax.axis_index(AXES[1])
+        sx = jax.lax.axis_index(AXES[2])
+        oz, oy, ox = czg[:, owner_col], cyg[:, owner_col], cxg[:, owner_col]
+        mine = (oz // mz == sz) & (oy // my == sy) & (ox // mx == sx)
+        if valid_rows is not None:
+            mine = mine & valid_rows
+
+        def rel(cg, co):
+            d = cg - co[:, None]
+            half = m // 2
+            return ((d + half) % m) - half  # periodic wrap to [−half, half)
+
+        dz, dy, dx = rel(czg, oz), rel(cyg, oy), rel(cxg, ox)
+        bad = jnp.any(
+            mine[:, None]
+            & ((jnp.abs(dz) > 1) | (jnp.abs(dy) > 1) | (jnp.abs(dx) > 1))
+        )
+        ez = (oz - sz * mz)[:, None] + jnp.clip(dz, -1, 1) + 1
+        ey = (oy - sy * my)[:, None] + jnp.clip(dy, -1, 1) + 1
+        ex = (ox - sx * mx)[:, None] + jnp.clip(dx, -1, 1) + 1
+        ext = ((ez * (my + 2) + ey) * (mx + 2) + ex) * c + slot
+        return jnp.where(mine[:, None], ext, n_ext), mine, bad
+
+    def _bind_terms(aid, valid):
+        """Per-rebin term→extended-slot bindings (dict pytree) + bad flag."""
+        if not has_terms:
+            return None, jnp.asarray(False)
+        amap = _atom_gslot_map(aid, valid)
+        out = {}
+        bad = jnp.asarray(False)
+        if has_bonded:
+            fam = {}
+            for name, tab, oc in (
+                ("bonds", bonded.bonds, 0),
+                ("angles", bonded.angles, 1),
+                ("torsions", bonded.torsions, 1),
+                ("impropers", bonded.impropers, 1),
+            ):
+                if tab is None:
+                    continue
+                ext, mine, b = _ext_of(amap, tab.atoms, oc, tab.valid)
+                fam[name] = (ext, mine)
+                bad = bad | b
+            out["bonded"] = fam
+        if has_leftover:
+            ext, mine, b = _ext_of(amap, lo_pairs, 0, None)
+            out["leftover"] = (ext, mine)
+            bad = bad | b
+        return out, bad
+
+    def _pos_ext_flat(gx_, gy_, gz_):
+        """Ghost coordinate grids → (n_ext + 1, 3) with a zero pad row."""
+        return jnp.concatenate(
+            [
+                jnp.stack(
+                    [gx_.reshape(-1), gy_.reshape(-1), gz_.reshape(-1)], axis=-1
+                ),
+                jnp.zeros((1, 3), jnp.float32),
+            ]
+        )
+
+    def _term_rows(pos_ext, ebind):
+        """(idx, contrib) scatter rows of every owned term, extended-slot
+        indexed — the caller folds them into its reaction ghost buffer."""
+        from emdee_tpu.potentials.bonded import (
+            angle_force_rows,
+            bond_force_rows,
+            torsion_force_rows,
+        )
+
+        box = _box()
+        idxs, contribs = [], []
+        if has_bonded:
+            fam = ebind["bonded"]
+            for name, tab, rows in (
+                ("bonds", bonded.bonds, bond_force_rows),
+                ("angles", bonded.angles, angle_force_rows),
+                ("torsions", bonded.torsions, torsion_force_rows),
+                ("impropers", bonded.impropers, torsion_force_rows),
+            ):
+                if name not in fam:
+                    continue
+                ext, mine = fam[name]
+                idx, con = rows(pos_ext, box, tab._replace(atoms=ext, valid=mine))
+                idxs.append(idx)
+                contribs.append(con)
+        if has_leftover:
+            ext, mine = ebind["leftover"]
+            i, j = ext[:, 0], ext[:, 1]
+            dv = pos_ext[i] - pos_ext[j]  # ghosts are seam-shifted: exact
+            r2 = jnp.sum(dv * dv, axis=-1)
+            r2s = jnp.where(mine, r2, 1.0)
+            _, mre = pair_interaction(
+                r2s, model, lo_hs_i, lo_tse_i, lo_hs_j, lo_tse_j
+            )
+            mre = lo_wlj * mre
+            if lo_has_q:
+                from emdee_tpu.potentials.coulomb import coulomb_interaction
+
+                _, mre_c = coulomb_interaction(r2s, coulomb, lo_qi, lo_qj)
+                mre = mre + lo_wc * mre_c
+            mre = jnp.where(mine, mre, 0.0)
+            f_ij = (mre / r2s)[:, None] * dv
+            idxs.append(jnp.concatenate([i, j]))
+            contribs.append(jnp.concatenate([-f_ij, f_ij]))
+        return jnp.concatenate(idxs), jnp.concatenate(contribs)
+
+    def _term_force_grid(gx_, gy_, gz_, ebind):
+        """Owned-term forces on the extended grid (gz, gy, gx, C, 3) —
+        interior rows add locally, ghost rows ride the reverse halo fold."""
+        idx, contrib = _term_rows(_pos_ext_flat(gx_, gy_, gz_), ebind)
+        f = jnp.zeros((n_ext + 1, 3), jnp.float32).at[idx].add(contrib)
+        return f[:-1].reshape(mz + 2, my + 2, mx + 2, c, 3)
+
+    def _term_energy_virial(pos_ext, ebind):
+        """Shard-local (pe, vir) scalars of the owned terms."""
+        from emdee_tpu.potentials.bonded import (
+            angle_energy,
+            bond_energy,
+            bond_virial,
+            torsion_energy,
+        )
+
+        box = _box()
+        pe = jnp.float32(0.0)
+        vir = jnp.float32(0.0)
+        if has_bonded:
+            fam = ebind["bonded"]
+            for name, tab, efn in (
+                ("bonds", bonded.bonds, bond_energy),
+                ("angles", bonded.angles, angle_energy),
+                ("torsions", bonded.torsions, torsion_energy),
+                ("impropers", bonded.impropers, torsion_energy),
+            ):
+                if name not in fam:
+                    continue
+                ext, mine = fam[name]
+                rt = tab._replace(atoms=ext, valid=mine)
+                pe = pe + efn(pos_ext, box, rt)
+                if name == "bonds":
+                    # Angles/torsions are scale-invariant: zero virial.
+                    vir = vir + bond_virial(pos_ext, box, rt)
+        if has_leftover:
+            ext, mine = ebind["leftover"]
+            i, j = ext[:, 0], ext[:, 1]
+            dv = pos_ext[i] - pos_ext[j]
+            r2 = jnp.sum(dv * dv, axis=-1)
+            r2s = jnp.where(mine, r2, 1.0)
+            e, mre = pair_interaction(
+                r2s, model, lo_hs_i, lo_tse_i, lo_hs_j, lo_tse_j
+            )
+            e = lo_wlj * e
+            mre = lo_wlj * mre
+            if lo_has_q:
+                from emdee_tpu.potentials.coulomb import coulomb_interaction
+
+                e_c, mre_c = coulomb_interaction(r2s, coulomb, lo_qi, lo_qj)
+                e = e + lo_wc * e_c
+                mre = mre + lo_wc * mre_c
+            pe = pe - jnp.sum(jnp.where(mine, e, 0.0))
+            vir = vir - jnp.sum(jnp.where(mine, mre, 0.0))
+        return pe, vir
+
     def _build_ghosts_centers(pos, hs, tse, valid, q, aid_f, aux):
         """Sentineled ghost grids (4D (gz, gy, gx, C)) + stacked center block
         for the per-shard Pallas kernels (resident AND streaming)."""
@@ -337,7 +589,7 @@ def make_grid_sharded_sim(
     def _uncenter(a):  # (mz·my, C, mx) → (mz, my, mx, C)
         return a.transpose(0, 2, 1).reshape(mz, my, mx, c)
 
-    def _local_forces_pallas(pos, hs, tse, valid, q, aid_f, aux, interpret):
+    def _local_forces_pallas(pos, hs, tse, valid, q, aid_f, aux, ebind, interpret):
         from emdee_tpu.neighbors.pallas_cell_kernel import (
             _const_tiles,
             halfshell_call,
@@ -356,10 +608,17 @@ def make_grid_sharded_sim(
         fx, fy, fz, react = outs[:4]
         forces = jnp.stack([_uncenter(fx), _uncenter(fy), _uncenter(fz)], axis=-1)
         react = react.reshape(3, gz, gy, gx, c)
-        rfold = jnp.stack([_fold3(react[k]) for k in range(3)], axis=-1)
+        if ebind is not None:
+            # Bonded/leftover rows ride the kernel's reaction fold for free.
+            bg = _term_force_grid(ghosts4[0], ghosts4[1], ghosts4[2], ebind)
+            rfold = jnp.stack(
+                [_fold3(react[k] + bg[..., k]) for k in range(3)], axis=-1
+            )
+        else:
+            rfold = jnp.stack([_fold3(react[k]) for k in range(3)], axis=-1)
         return forces + rfold
 
-    def _local_forces_streaming(pos, hs, tse, valid, q, aid_f, aux, interpret):
+    def _local_forces_streaming(pos, hs, tse, valid, q, aid_f, aux, ebind, interpret):
         """Per-shard HBM-streaming half-shell kernel — for shards whose
         resident working set exceeds VMEM (≳150k atoms/shard).  Same halo
         communication; reaction rows are padded back onto the local ghost
@@ -385,6 +644,11 @@ def make_grid_sharded_sim(
             excl_e=excl_e, excl_cs=excl_cs,
         )
         react_groups = outs[3:8]
+        bg = (
+            None
+            if ebind is None
+            else _term_force_grid(ghosts4[0], ghosts4[1], ghosts4[2], ebind)
+        )
 
         def assemble(comp):
             full = sum(
@@ -393,8 +657,11 @@ def make_grid_sharded_sim(
                     ((dz + 1, 1 - dz), (dy + 1, 1 - dy), (0, 0)),
                 )
                 for gi, (dz, dy) in enumerate(_HS_ROW_GROUPS)
-            )
-            return _fold3(full.reshape(gz, gy, gx, c))
+            ).reshape(gz, gy, gx, c)
+            if bg is not None:
+                # Bonded/leftover rows ride the same reverse reaction fold.
+                full = full + bg[..., comp]
+            return _fold3(full)
 
         forces = jnp.stack(
             [_uncenter(outs[0]) + assemble(0), _uncenter(outs[1]) + assemble(1),
@@ -402,8 +669,15 @@ def make_grid_sharded_sim(
         )
         return forces
 
-    def _local_forces_xla(pos, hs, tse, valid, q, aid_f, aux, compute_energy):
-        """Portable half-shell on the ghost grid: static slices, same comm."""
+    def _local_forces_xla(pos, hs, tse, valid, q, aid_f, aux, compute_energy,
+                          ebind=None):
+        """Portable half-shell on the ghost grid: static slices, same comm.
+
+        With `ebind` (extended-grid term bindings), owned bonded/leftover
+        term forces are scattered onto the same reaction ghost buffer (one
+        shared fold); in compute_energy mode the return grows to
+        (forces, energies, virials, term_pe, term_vir) with the term pe/vir
+        as shard-local SCALARS (callers psum them alongside the slot sums)."""
         from emdee_tpu.potentials.coulomb import coulomb_interaction
 
         # Coordinates need per-axis seam shifts; build per-component ghosts.
@@ -514,11 +788,18 @@ def make_grid_sharded_sim(
                 e_react = e_react + jnp.pad(e_r, pad[:-1])
                 w_react = w_react + jnp.pad(w_r, pad[:-1])
 
+        if ebind is not None:
+            react = react + _term_force_grid(gx_, gy_, gz_, ebind)
         forces = forces + _fold3(react)
         if compute_energy:
             energies = energies + _fold3(e_react)
             virials = virials + _fold3(w_react)
-            return forces, energies, virials
+            tpe = tvir = jnp.float32(0.0)
+            if ebind is not None:
+                tpe, tvir = _term_energy_virial(
+                    _pos_ext_flat(gx_, gy_, gz_), ebind
+                )
+            return forces, energies, virials, tpe, tvir
         return forces
 
     def _aid_of(aid, valid):
@@ -541,15 +822,16 @@ def make_grid_sharded_sim(
             else _local_forces_pallas
         )
 
-        def forces_of(pos, hs, tse, valid, q, aid, aux):
+        def forces_of(pos, hs, tse, valid, q, aid, aux, ebind=None):
             aid_f = _aid_of(aid, valid) if has_excl else None
-            return local_fn(pos, hs, tse, valid, q, aid_f, aux, interp)
+            return local_fn(pos, hs, tse, valid, q, aid_f, aux, ebind, interp)
     else:
 
-        def forces_of(pos, hs, tse, valid, q, aid, aux):
+        def forces_of(pos, hs, tse, valid, q, aid, aux, ebind=None):
             aid_f = _aid_of(aid, valid) if has_excl else None
             return _local_forces_xla(
-                pos, hs, tse, valid, q, aid_f, aux, compute_energy=False
+                pos, hs, tse, valid, q, aid_f, aux, compute_energy=False,
+                ebind=ebind,
             )
 
     # ---- per-shard shift rebin ----
@@ -660,7 +942,7 @@ def make_grid_sharded_sim(
     def _rollout_local(num_steps, rebin_every, pos, vel, inv_m, hs, tse, aid,
                        valid, ref, step, overflow, rng, boxv, q=None):
         box_cell[0] = boxv
-        def make_one_step(inv_m, hs, tse, valid, q, aid, aux):
+        def make_one_step(inv_m, hs, tse, valid, q, aid, aux, ebind=None):
             from emdee_tpu.neighbors.cell_dense import LangevinConfig as _LC
 
             if isinstance(thermostat, _LC):
@@ -687,7 +969,7 @@ def make_grid_sharded_sim(
                     v = c1 * v + c2 * jnp.sqrt(inv_m[..., None]) * noise
                     x = x + (0.5 * dt_f) * v
                     x = jnp.where(valid[..., None], x, pos)
-                    f_new = forces_of(x, hs, tse, valid, q, aid, aux)
+                    f_new = forces_of(x, hs, tse, valid, q, aid, aux, ebind)
                     v_new = v + (0.5 * dt_f) * f_new * inv_m[..., None]
                     v_new = jnp.where(valid[..., None], v_new, 0.0)
                     return (x, v_new, f_new, key), None
@@ -699,7 +981,7 @@ def make_grid_sharded_sim(
                 v_half = vel + (0.5 * dt_f) * f * inv_m[..., None]
                 new_pos = pos + dt_f * v_half
                 new_pos = jnp.where(valid[..., None], new_pos, pos)
-                f_new = forces_of(new_pos, hs, tse, valid, q, aid, aux)
+                f_new = forces_of(new_pos, hs, tse, valid, q, aid, aux, ebind)
                 v_new = v_half + (0.5 * dt_f) * f_new * inv_m[..., None]
                 if thermostat is not None:
                     from emdee_tpu.dynamics.bussi import _csvr_alpha2
@@ -732,11 +1014,13 @@ def make_grid_sharded_sim(
                 # Berendsen μ-rescale at the block boundary (the single-chip
                 # engine's protocol, with the pressure psum'd over shards).
                 aid_f = _aid_of(aid, valid) if has_excl else None
-                _, e_l, w_l = _local_forces_xla(
-                    pos, hs, tse, valid, q, aid_f, _aux_of(aid), compute_energy=True
+                ebind_b = _bind_terms(aid, valid)[0] if has_terms else None
+                _, e_l, w_l, _tpe, tvir = _local_forces_xla(
+                    pos, hs, tse, valid, q, aid_f, _aux_of(aid),
+                    compute_energy=True, ebind=ebind_b,
                 )
                 pvk = jnp.stack([
-                    jnp.sum(jnp.where(valid, w_l, 0.0)),
+                    jnp.sum(jnp.where(valid, w_l, 0.0)) + tvir,
                     0.5 * jnp.sum(jnp.where(
                         valid[..., None], vel**2 / jnp.maximum(inv_m[..., None], 1e-30), 0.0
                     )),
@@ -759,14 +1043,22 @@ def make_grid_sharded_sim(
                 pos, vel, inv_m, hs, tse, aid, valid, overflow, f, q
             )
             aux = _aux_of(aid)
+            ebind = None
+            if has_terms:
+                ebind, bad = _bind_terms(aid, valid)
+                overflow = overflow | bad
             (pos, vel, f, key), _ = jax.lax.scan(
-                make_one_step(inv_m, hs, tse, valid, q, aid, aux),
+                make_one_step(inv_m, hs, tse, valid, q, aid, aux, ebind),
                 (pos, vel, f, key), None, length=length,
             )
             overflow = overflow | _needs_rebin_local(pos, ref, valid)
             return (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f, q, key, boxv)
 
-        f0 = forces_of(pos, hs, tse, valid, q, aid, _aux_of(aid))
+        ebind0 = None
+        if has_terms:
+            ebind0, bad0 = _bind_terms(aid, valid)
+            overflow = overflow | bad0
+        f0 = forces_of(pos, hs, tse, valid, q, aid, _aux_of(aid), ebind0)
         blocks, rem = divmod(num_steps, rebin_every)
         carry = (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f0, q, rng, boxv)
         if blocks:
@@ -824,28 +1116,33 @@ def make_grid_sharded_sim(
     def _energy_local(pos, vel, inv_m, hs, tse, valid, aid, boxv, q=None):
         box_cell[0] = boxv
         aid_f = _aid_of(aid, valid) if has_excl else None
-        f, e, w = _local_forces_xla(
-            pos, hs, tse, valid, q, aid_f, _aux_of(aid), compute_energy=True
+        ebind = _bind_terms(aid, valid)[0] if has_terms else None
+        f, e, w, tpe, tvir = _local_forces_xla(
+            pos, hs, tse, valid, q, aid_f, _aux_of(aid), compute_energy=True,
+            ebind=ebind,
         )
-        pe = jnp.sum(jnp.where(valid, e, 0.0))
-        vir = jnp.sum(jnp.where(valid, w, 0.0))
+        pe = jnp.sum(jnp.where(valid, e, 0.0)) + tpe
+        vir = jnp.sum(jnp.where(valid, w, 0.0)) + tvir
         ke = 0.5 * jnp.sum(
             jnp.where(valid[..., None], vel**2 / jnp.maximum(inv_m[..., None], 1e-30), 0.0)
         )
         out = jnp.stack([pe, vir, ke])
         for ax in AXES:
             out = jax.lax.psum(out, ax)
+        if os.environ.get("EMDEE_DEBUG_SLOT_E"):
+            return out[0], out[1], out[2], jnp.where(valid, e, 0.0)
         return out[0], out[1], out[2]
 
     @jax.jit
     def energy(state: CellDenseState):
         from emdee_tpu.neighbors.cell_dense import _state_box
 
+        dbg = bool(os.environ.get("EMDEE_DEBUG_SLOT_E"))
         fn = jax.shard_map(
             _energy_local,
             mesh=mesh,
             in_specs=(spec,) * 7 + (rep,) + ((spec,) if has_q else ()),
-            out_specs=(rep, rep, rep),
+            out_specs=(rep, rep, rep) + ((spec,) if dbg else ()),
             check_vma=False,
         )
         args = (

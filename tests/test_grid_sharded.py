@@ -185,6 +185,80 @@ def test_grid_molecular_matches_single_chip():
     np.testing.assert_allclose(v_out, v_ref, atol=2e-4)
 
 
+def test_grid_bonded_leftover_matches_single_chip():
+    """Full molecular decomposition on the 3D grid-sharded engine — bonded
+    terms (bonds/angles/torsions, owner-computes on the extended ghost grid)
+    and beyond-band exclusion leftovers — ≡ the single-chip molecular engine
+    with the same exclusion band, on the reference's dioxin-in-water fixture
+    tiled 2× (12152 atoms, real amber-style topology, E up to 13)."""
+    from tests.conftest import reference_data_path
+
+    if reference_data_path("dibenzo-p-dioxin-in-water.xml") is None:
+        pytest.skip("reference fixtures not mounted")
+    from tests.test_cell_dense_molecular import _fixture_system, _tile_system
+
+    from emdee_tpu.modelling.bonded import build_bonded_system
+    from emdee_tpu.neighbors.cell_dense_molecular import (
+        build_exclusion_tables,
+        make_molecular_dense_sim,
+    )
+    from emdee_tpu.potentials.coulomb import KJMOL_ANGSTROM, DSFCoulomb
+
+    system = _tile_system(_fixture_system(), reps=2)
+    n = len(system)
+    box = float(system.box_lengths[0])
+    params = system.lj_params(10.0)
+    q = np.asarray(system.charges, np.float32)
+    pairs, ljs, cs = system.exclusions(coulomb=True)
+    bonded = build_bonded_system(system, length_scale=10.0)
+    rng = np.random.default_rng(44)
+    vel = rng.normal(scale=0.05, size=(n, 3))
+
+    config = suggest_cell_dense_config(n, box, cutoff=7.0, switch=6.0, skin=1.0)
+    assert config.cells_per_dim == 6
+    model = LennardJonesModel.create(7.0, 6.0)
+    coul = DSFCoulomb.create(7.0, alpha=0.2, coulomb_constant=KJMOL_ANGSTROM)
+    band = 4
+    tabs, leftover = build_exclusion_tables(n, pairs, ljs, cs, band_e=band)
+    assert leftover[0].shape[0] > 0  # the band must actually split something
+
+    st = cell_dense_init(
+        system.positions, vel, np.asarray(system.masses), params, config,
+        charges=q,
+    )
+    assert not bool(st.overflow)
+
+    rollout_1, energy_1 = make_molecular_dense_sim(
+        config, model, 2e-4, n, params=params, charges=q, coulomb=coul,
+        exclusion_pairs=jnp.asarray(pairs, jnp.int32),
+        exclusion_scales=jnp.asarray(ljs, jnp.float32),
+        exclusion_scales_coulomb=jnp.asarray(cs, jnp.float32),
+        bonded=bonded, backend="xla", exclusion_mode="kernel",
+        exclusion_band=band,
+    )
+    pe_ref, vir_ref, _ = (float(x) for x in energy_1(st))
+    ref = rollout_1(st, num_steps=8, rebin_every=4)
+    assert not bool(ref.overflow)
+
+    mesh = make_grid_mesh((2, 2, 2))
+    st_sh = distribute_grid(st, config, mesh)
+    rollout_n, energy_n = make_grid_sharded_sim(
+        config, model, 2e-4, mesh, backend="xla", coulomb=coul,
+        excl_tables=tabs, bonded=bonded, excl_leftover=leftover,
+        atom_params=params, atom_charges=q,
+    )
+    pe_sh, vir_sh, _ = (float(x) for x in energy_n(st_sh))
+    assert pe_sh == pytest.approx(pe_ref, rel=2e-5, abs=0.5)
+    assert vir_sh == pytest.approx(vir_ref, rel=2e-5, abs=0.5)
+
+    out = rollout_n(st_sh, num_steps=8, rebin_every=4)
+    assert not bool(out.overflow)
+    p_ref, v_ref = gather_dense_atoms(ref, n)
+    p_out, v_out = gather_grid_atoms(out, config, n)
+    np.testing.assert_allclose(p_out % box, p_ref % box, atol=1e-3)
+    np.testing.assert_allclose(v_out, v_ref, atol=1e-2)
+
+
 def test_grid_streaming_interpret_matches_xla():
     """The per-shard HBM-streaming kernel (for shards beyond VMEM residency)
     under shard_map agrees with the portable XLA half-shell — same halo
