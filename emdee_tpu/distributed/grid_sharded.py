@@ -122,6 +122,35 @@ def gather_grid_atoms(state: CellDenseState, config: CellDenseConfig, num_atoms:
     return gather_dense_atoms(flat, num_atoms)
 
 
+def reconfigure_grid_state(
+    state: CellDenseState, config: CellDenseConfig, mesh: Mesh
+):
+    """NPT geometry re-derive for a GRID-SHARDED run: when the dynamic box
+    drifts past the static-geometry guard (the rollout's sticky flag trips at
+    box < M·(rc + skin)), gather the state host-side, re-derive the cell
+    grid at the current box (cells_per_dim rounded to a multiple of every
+    mesh axis so the decomposition still divides), and redistribute over the
+    same mesh.  Returns (sharded state', config'); build fresh rollout/energy
+    closures from config' (M and C are trace-time statics — a geometry
+    change is a recompile by construction).
+
+    Long NPT runs alternate: rollout until `state.overflow` trips on the
+    geometry guard → `reconfigure_grid_state` → new closures → continue."""
+    from emdee_tpu.neighbors.cell_dense import reconfigure_dense_state
+
+    lcm = 1
+    for ax in AXES:
+        nd = mesh.shape[ax]
+        lcm = lcm * nd // int(np.gcd(lcm, nd))
+    flat = jax.device_get(_flat_leaves(state, config))
+    new_flat, new_config = reconfigure_dense_state(
+        flat, config, cells_multiple_of=lcm,
+        min_cells_per_dim=2 * max(mesh.shape[ax] for ax in AXES),
+    )
+    validate_grid_config(new_config, mesh)
+    return distribute_grid(new_flat, new_config, mesh), new_config
+
+
 def make_grid_sharded_sim(
     config: CellDenseConfig,
     model: LennardJonesModel,
@@ -669,6 +698,79 @@ def make_grid_sharded_sim(
         )
         return forces
 
+    def _local_energy_pallas(pos, hs, tse, valid, q, aid_f, aux, ebind,
+                             streaming, interpret):
+        """Per-shard energy/virial via the Pallas kernels' compute_energy
+        mode (pallas_cell_kernel.py:841-848) — observables and the barostat
+        pressure pass stay on the fast path (the XLA half-shell takes 10+
+        minutes to compile at ≥20k atoms, so falling back to it would push
+        sharded energy/NPT off TPU in practice).
+
+        Returns (e_slots, w_slots, tpe, tvir): per-slot pair energy/virial
+        grids (mz, my, mx, C) with reaction ghosts folded (the kernel
+        splits each pair's half across both slots, so slot sums psum to the
+        total), plus shard-local bonded/leftover term pe/vir scalars."""
+        gz, gy, gxn = mz + 2, my + 2, mx + 2
+        gxc = gxn * c
+        ghosts4, centers = _build_ghosts_centers(pos, hs, tse, valid, q, aid_f, aux)
+        if streaming:
+            from emdee_tpu.neighbors.pallas_cell_kernel import (
+                _HS_ROW_GROUPS,
+                streaming_halfshell_call,
+            )
+
+            views = []
+            for g4 in ghosts4:
+                flat = g4.reshape(gz, gy, gxc)
+                for dz, dy in _HS_ROW_GROUPS:
+                    v = jax.lax.slice(
+                        flat, (dz + 1, dy + 1, 0), (dz + 1 + mz, dy + 1 + my, gxc)
+                    )
+                    views.append(v.reshape(mz * my, 1, gxc))
+            outs = streaming_halfshell_call(
+                views, centers, config, (mz, my, mx),
+                compute_energy=True, interpret=interpret,
+                uniform_params=uniform_params, coulomb=cc,
+                excl_e=excl_e, excl_cs=excl_cs,
+            )
+            react_groups = outs[3:8]
+
+            def assemble(comp):
+                full = sum(
+                    jnp.pad(
+                        react_groups[gi][:, comp, :].reshape(mz, my, gxc),
+                        ((dz + 1, 1 - dz), (dy + 1, 1 - dy), (0, 0)),
+                    )
+                    for gi, (dz, dy) in enumerate(_HS_ROW_GROUPS)
+                ).reshape(gz, gy, gxn, c)
+                return _fold3(full)
+
+            e_slots = _uncenter(outs[8]) + assemble(3)
+            w_slots = _uncenter(outs[9]) + assemble(4)
+        else:
+            from emdee_tpu.neighbors.pallas_cell_kernel import (
+                _const_tiles,
+                halfshell_call,
+            )
+
+            ghosts = [g4.reshape(gz * gy, gxc) for g4 in ghosts4]
+            inputs = tuple(ghosts) + (centers,) + _const_tiles(mx, c)
+            outs = halfshell_call(
+                inputs, config, (mz, my, mx),
+                compute_energy=True, interpret=interpret,
+                uniform_params=uniform_params, coulomb=cc,
+                excl_e=excl_e, excl_cs=excl_cs,
+            )
+            e_c, w_c, e_r, w_r = outs[4:8]
+            e_slots = _uncenter(e_c) + _fold3(e_r.reshape(gz, gy, gxn, c))
+            w_slots = _uncenter(w_c) + _fold3(w_r.reshape(gz, gy, gxn, c))
+        tpe = tvir = jnp.float32(0.0)
+        if ebind is not None:
+            tpe, tvir = _term_energy_virial(
+                _pos_ext_flat(ghosts4[0], ghosts4[1], ghosts4[2]), ebind
+            )
+        return e_slots, w_slots, tpe, tvir
+
     def _local_forces_xla(pos, hs, tse, valid, q, aid_f, aux, compute_energy,
                           ebind=None):
         """Portable half-shell on the ghost grid: static slices, same comm.
@@ -817,14 +919,18 @@ def make_grid_sharded_sim(
 
     if backend in ("pallas", "pallas_interpret", "pallas_streaming", "pallas_streaming_interpret"):
         interp = backend.endswith("interpret")
-        local_fn = (
-            _local_forces_streaming if backend.startswith("pallas_streaming")
-            else _local_forces_pallas
-        )
+        streaming = backend.startswith("pallas_streaming")
+        local_fn = _local_forces_streaming if streaming else _local_forces_pallas
 
         def forces_of(pos, hs, tse, valid, q, aid, aux, ebind=None):
             aid_f = _aid_of(aid, valid) if has_excl else None
             return local_fn(pos, hs, tse, valid, q, aid_f, aux, ebind, interp)
+
+        def pair_energy_of(pos, hs, tse, valid, q, aid, aux, ebind=None):
+            aid_f = _aid_of(aid, valid) if has_excl else None
+            return _local_energy_pallas(
+                pos, hs, tse, valid, q, aid_f, aux, ebind, streaming, interp
+            )
     else:
 
         def forces_of(pos, hs, tse, valid, q, aid, aux, ebind=None):
@@ -833,6 +939,14 @@ def make_grid_sharded_sim(
                 pos, hs, tse, valid, q, aid_f, aux, compute_energy=False,
                 ebind=ebind,
             )
+
+        def pair_energy_of(pos, hs, tse, valid, q, aid, aux, ebind=None):
+            aid_f = _aid_of(aid, valid) if has_excl else None
+            _, e, w, tpe, tvir = _local_forces_xla(
+                pos, hs, tse, valid, q, aid_f, aux, compute_energy=True,
+                ebind=ebind,
+            )
+            return e, w, tpe, tvir
 
     # ---- per-shard shift rebin ----
 
@@ -1013,11 +1127,9 @@ def make_grid_sharded_sim(
             if barostat is not None:
                 # Berendsen μ-rescale at the block boundary (the single-chip
                 # engine's protocol, with the pressure psum'd over shards).
-                aid_f = _aid_of(aid, valid) if has_excl else None
                 ebind_b = _bind_terms(aid, valid)[0] if has_terms else None
-                _, e_l, w_l, _tpe, tvir = _local_forces_xla(
-                    pos, hs, tse, valid, q, aid_f, _aux_of(aid),
-                    compute_energy=True, ebind=ebind_b,
+                _e_l, w_l, _tpe, tvir = pair_energy_of(
+                    pos, hs, tse, valid, q, aid, _aux_of(aid), ebind_b
                 )
                 pvk = jnp.stack([
                     jnp.sum(jnp.where(valid, w_l, 0.0)) + tvir,
@@ -1115,11 +1227,9 @@ def make_grid_sharded_sim(
 
     def _energy_local(pos, vel, inv_m, hs, tse, valid, aid, boxv, q=None):
         box_cell[0] = boxv
-        aid_f = _aid_of(aid, valid) if has_excl else None
         ebind = _bind_terms(aid, valid)[0] if has_terms else None
-        f, e, w, tpe, tvir = _local_forces_xla(
-            pos, hs, tse, valid, q, aid_f, _aux_of(aid), compute_energy=True,
-            ebind=ebind,
+        e, w, tpe, tvir = pair_energy_of(
+            pos, hs, tse, valid, q, aid, _aux_of(aid), ebind
         )
         pe = jnp.sum(jnp.where(valid, e, 0.0)) + tpe
         vir = jnp.sum(jnp.where(valid, w, 0.0)) + tvir
