@@ -47,7 +47,9 @@ from emdee_tpu.neighbors.cell_dense import (
     LangevinConfig,
     cell_dense_init,
     gather_dense_atoms,
+    gather_dense_fields,
     make_cell_dense_sim,
+    reconfigure_dense_state,
     suggest_cell_dense_config,
     suggest_rebin_interval,
 )
@@ -101,6 +103,8 @@ __all__ = [
     "LangevinConfig",
     "cell_dense_init",
     "gather_dense_atoms",
+    "gather_dense_fields",
+    "reconfigure_dense_state",
     "make_cell_dense_sim",
     "suggest_cell_dense_config",
     "suggest_rebin_interval",

@@ -1333,3 +1333,90 @@ def gather_dense_atoms(state: CellDenseState, num_atoms: int):
     pos[ids[keep]] = np.asarray(state.positions).reshape(-1, 3)[keep]
     vel[ids[keep]] = np.asarray(state.velocities).reshape(-1, 3)[keep]
     return pos, vel
+
+
+def gather_dense_fields(state: CellDenseState, num_atoms: int) -> dict:
+    """Slot layout → EVERY per-atom field in original atom order (host):
+    positions, velocities, masses, (half_sigma, twice_sqrt_eps), charges.
+    The full inverse of `cell_dense_init` — what `reconfigure_dense_state`
+    feeds back through a re-derived geometry."""
+    ids = np.asarray(state.atom_id).reshape(-1)
+    keep = np.asarray(state.valid).reshape(-1)
+    sel = ids[keep]
+
+    def take(a, fill=0.0):
+        flat = np.asarray(a).reshape(len(keep), *np.asarray(a).shape[2:])
+        out = np.full((num_atoms,) + flat.shape[1:], fill, flat.dtype)
+        out[sel] = flat[keep]
+        return out
+
+    inv_m = take(state.inv_masses)
+    return {
+        "positions": take(state.positions),
+        "velocities": take(state.velocities),
+        "masses": 1.0 / np.maximum(inv_m, 1e-30),
+        "half_sigma": take(state.half_sigma),
+        "twice_sqrt_eps": take(state.twice_sqrt_eps),
+        "charges": None if state.charges is None else take(state.charges),
+    }
+
+
+def reconfigure_dense_state(
+    state: CellDenseState,
+    config: CellDenseConfig,
+    *,
+    cells_multiple_of: int = 1,
+    min_cells_per_dim: int = 3,
+):
+    """Host-side NPT geometry re-derive: (state, old config) → (state', config').
+
+    The dense engines keep the cell COUNT static while the NPT box breathes;
+    when the box drifts past the static-geometry guard (shrinks below
+    M·(rc + skin), or grows until occupancy statistics waste capacity), the
+    sticky overflow flag trips and the run must re-derive its geometry.  This
+    helper is that protocol: gather every per-atom field from slot layout,
+    re-run `suggest_cell_dense_config` at the CURRENT box, and re-init —
+    `step` carries over, `overflow` resets (the tripped guard is the reason
+    we are here), and velocities/params/charges survive exactly.
+
+    cells_multiple_of: round the new cells_per_dim DOWN to this multiple
+    (grid-sharded runs need M divisible by every mesh axis; the cell side
+    only grows, so the rc+skin bound still holds).  Raises if the box cannot
+    hold `min_cells_per_dim` cells — at that point the system belongs on the
+    all-pairs engine, not a cell grid.
+
+    Reference match: the reference re-derives its cell grid whenever nc
+    changes (cells.jl:46-76, `set_cells!`); this is the same operation for a
+    slot-grid state, kept OFF the compiled path (a geometry change is a
+    recompile by construction — M and C are trace-time statics)."""
+    n = int(config.num_atoms)
+    box_now = float(np.asarray(_state_box(state, config)))
+    fields = gather_dense_fields(state, n)
+    new_config = suggest_cell_dense_config(
+        n, box_now, config.cutoff, config.switch, config.skin, spill=config.spill
+    )
+    m = new_config.cells_per_dim
+    if cells_multiple_of > 1:
+        m = (m // cells_multiple_of) * cells_multiple_of
+    if m < max(min_cells_per_dim, cells_multiple_of):
+        raise ValueError(
+            f"box {box_now:.3f} holds only {m} cells of side ≥ "
+            f"{config.cutoff + config.skin} (multiple-of-{cells_multiple_of})"
+        )
+    new_config = new_config._replace(cells_per_dim=m)
+    params = LJParams(
+        half_sigma=fields["half_sigma"], twice_sqrt_eps=fields["twice_sqrt_eps"]
+    )
+    new_state = cell_dense_init(
+        fields["positions"], fields["velocities"], fields["masses"], params,
+        new_config, charges=fields["charges"],
+    )
+    if bool(new_state.overflow):
+        # Rare statistical outlier at the snapshot instant: widen and retry
+        # (the suggest margin is deliberately tight — see its docstring).
+        new_config = new_config._replace(capacity=new_config.capacity + 8)
+        new_state = cell_dense_init(
+            fields["positions"], fields["velocities"], fields["masses"], params,
+            new_config, charges=fields["charges"],
+        )
+    return new_state._replace(step=state.step), new_config
