@@ -61,6 +61,19 @@ _HALF_SHELL = [
 _FAR = 1.0e5  # sentinel distance scale for empty slots
 
 
+def _debug_env(name: str) -> str:
+    """Read a debug/ablation env toggle — honored ONLY under EMDEE_DEBUG=1.
+
+    These toggles change physics (EMDEE_ABLATE_ROWSUM) or tuning
+    (EMDEE_ROWS_PER_PROG) and exist for perf instrumentation; a stray value
+    in a user's environment must never alter a production run."""
+    import os
+
+    if not os.environ.get("EMDEE_DEBUG"):
+        return ""
+    return os.environ.get(name, "")
+
+
 def _recip_newton_steps() -> int:
     """Newton refinement steps after `pl.reciprocal(approx=True)`.
 
@@ -494,9 +507,7 @@ def _build_pair_pass(
             # Newton reaction sums over the center axis, padded out to the
             # full ghost row at this dx's lane window (full-row writes are
             # aligned; per-window RMWs would each pay lane rotations).
-            import os as _os
-
-            if _os.environ.get("EMDEE_ABLATE_ROWSUM"):
+            if _debug_env("EMDEE_ABLATE_ROWSUM"):
                 # Timing ablation ONLY (wrong physics): skip the cross-
                 # sublane reduction to measure its share of the pass.
                 def row_pad(t):
@@ -735,9 +746,7 @@ def pallas_cell_forces(
         kc=0.0 if coulomb is None else coulomb[4], excl=excl,
         bond_energy=compute_energy,
     )
-    import os
-
-    rpp = int(os.environ.get("EMDEE_ROWS_PER_PROG", "1"))
+    rpp = int(_debug_env("EMDEE_ROWS_PER_PROG") or "1")
     bond = None if excl is None or len(excl) < 4 else excl[3]
     outs = halfshell_call(
         inputs, config, (m, m, m),
@@ -942,10 +951,18 @@ def _prep_streaming_inputs(
 def _make_streaming_kernel(
     config: CellDenseConfig, model_consts, compute_energy, interpret,
     uniform_params=None, coulomb=None, excl_e: int = 0, excl_cs: bool = False,
-    excl_eb: int = 0, dims=None,
+    excl_eb: int = 0, dims=None, rows_per_program: int = 1,
 ):
     """dims=(mz, my, mx): interior cell-grid shape — cubic (M, M, M) on one
-    chip, a shard's local block under shard_map."""
+    chip, a shard's local block under shard_map.
+
+    rows_per_program: (z, y) pencils per grid program (must divide mz·my).
+    Unlike the resident kernel — where batching lost to whole-problem VMEM
+    pressure — the streaming kernel's per-program working set is a few row
+    blocks, so batching amortizes the fixed per-program cost (prologue, DMA
+    issue, MXU dispatch latency) with VMEM to spare; the center-expansion
+    and segment-reduction matmuls batch across the sub-rows."""
+    rpp = rows_per_program
     c = config.capacity
     mz, my, mx = dims if dims is not None else (config.cells_per_dim,) * 3
     m = mx  # lane-axis cell count
@@ -969,82 +986,116 @@ def _make_streaming_kernel(
     def kernel(*refs):
         ghost_refs = refs[: 5 * n_f]
         centers = refs[5 * n_f]
-        outs = refs[5 * n_f + 1 :]
+        # Constant tiles arrive as inputs with a constant index map — Pallas
+        # DMAs them once and reuses the same VMEM block every program.
+        # (Building them in-kernel costs ~10⁵ iota/compare VPU ops per
+        # program; at 1M atoms that was a measurable slice of the streaming
+        # kernel's +28% per-atom gap vs the resident kernel.)
+        is_self, expand, seg_bf16 = (
+            refs[5 * n_f + 1][...], refs[5 * n_f + 2][...], refs[5 * n_f + 3],
+        )
+        outs = refs[5 * n_f + 4 :]
         fx, fy, fz = outs[:3]
-        ro = outs[3:8]  # 5 reaction row groups, each (1, n_r, G·C)
+        ro = outs[3:8]  # 5 reaction row groups, each (rpp, n_r, G·C)
         if compute_energy:
             e_out, w_out = outs[8:10]
-
-        # Constant tiles built in-kernel (once per program — the streaming
-        # kernel trades a few iota ops for not shipping const refs per block).
-        lane_in_cell = jax.lax.broadcasted_iota(jnp.int32, (c, mc), 1) % c
-        sub_id = jax.lax.broadcasted_iota(jnp.int32, (c, mc), 0)
-        is_self = (lane_in_cell == sub_id).astype(jnp.float32)
-        seg_bf16 = (
-            jax.lax.broadcasted_iota(jnp.int32, (mc, m), 0) // c
-            == jax.lax.broadcasted_iota(jnp.int32, (mc, m), 1)
-        ).astype(jnp.bfloat16)
-        expand = (
-            jax.lax.broadcasted_iota(jnp.int32, (m, mc), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (m, mc), 1) // c
-        ).astype(jnp.float32)
 
         mm = lambda a, b: jnp.dot(
             a, b, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
         )
 
         def segsum(t):
+            sb = seg_bf16[...]
             hi = t.astype(jnp.bfloat16)
             rem = t - hi.astype(jnp.float32)
             mid = rem.astype(jnp.bfloat16)
             lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-            out = jnp.dot(hi, seg_bf16, preferred_element_type=jnp.float32)
-            out += jnp.dot(mid, seg_bf16, preferred_element_type=jnp.float32)
-            out += jnp.dot(lo, seg_bf16, preferred_element_type=jnp.float32)
+            out = jnp.dot(hi, sb, preferred_element_type=jnp.float32)
+            out += jnp.dot(mid, sb, preferred_element_type=jnp.float32)
+            out += jnp.dot(lo, sb, preferred_element_type=jnp.float32)
             return out
 
-        cen_all = mm(centers[0], expand)
-        cen = _unpack_centers(
-            cen_all, c, uniform, coulomb is not None, excl_e, excl_cs,
-            excl_eb=excl_eb, bond_energy=compute_energy,
-        )
-
-        def load(name, dz, dy, win):
-            fi = names.index(name)
-            return ghost_refs[fi * 5 + group_index[(dz, dy)]][0, 0:1, pl.ds(win, mc)]
-
-        pair_pass = _build_pair_pass(
-            c=c, mc=mc, gc=gc, rs2=rs2, invd2=invd2, n_newton=n_newton,
-            interpret=interpret, compute_energy=compute_energy,
-            uniform_params=uniform_params, coulomb=coulomb,
-            excl_e=excl_e, excl_cs=excl_cs, is_self=is_self,
-            load=load, cen=cen, excl_eb=excl_eb,
-        )
-
-        zero_tile = jnp.zeros((c, mc), jnp.float32)
-        acc = (zero_tile, zero_tile, zero_tile, zero_tile, zero_tile)
-        acc, _ = pair_pass(0, 0, 0, True, acc)
-        for grp in _HS_ROW_GROUPS:
-            dz, dy = grp
-            parts = []
-            for dx in _HS_GROUP_DXS[grp]:
-                acc, reaction = pair_pass(dz, dy, dx, False, acc)
-                parts.append(reaction)
-            combined = [sum(p[k] for p in parts) for k in range(len(parts[0]))]
-            # Each program owns its row of every group output — one plain
-            # write, no cross-program read-modify-write (HBM-safe).
-            ro[group_index[grp]][0] = jnp.concatenate(combined, axis=0)
+        # ONE batched center expansion for every sub-row: (rpp·nC, M·C).
+        n_cen_c = centers.shape[1]
+        cen_alls = mm(centers[...].reshape(rpp * n_cen_c, m), expand)
 
         n_fields = 5 if compute_energy else 3
-        reduced = segsum(jnp.concatenate(acc[:n_fields], axis=0))
-        fx[0] = reduced[0:c]
-        fy[0] = reduced[c : 2 * c]
-        fz[0] = reduced[2 * c : 3 * c]
-        if compute_energy:
-            e_out[0] = reduced[3 * c : 4 * c]
-            w_out[0] = reduced[4 * c : 5 * c]
+        accs = []
+        for r in range(rpp):
+            cen = _unpack_centers(
+                cen_alls[r * n_cen_c : (r + 1) * n_cen_c], c, uniform,
+                coulomb is not None, excl_e, excl_cs,
+                excl_eb=excl_eb, bond_energy=compute_energy,
+            )
+
+            def load(name, dz, dy, win, r=r):
+                fi = names.index(name)
+                return ghost_refs[fi * 5 + group_index[(dz, dy)]][
+                    r, 0:1, pl.ds(win, mc)
+                ]
+
+            pair_pass = _build_pair_pass(
+                c=c, mc=mc, gc=gc, rs2=rs2, invd2=invd2, n_newton=n_newton,
+                interpret=interpret, compute_energy=compute_energy,
+                uniform_params=uniform_params, coulomb=coulomb,
+                excl_e=excl_e, excl_cs=excl_cs, is_self=is_self,
+                load=load, cen=cen, excl_eb=excl_eb,
+            )
+
+            zero_tile = jnp.zeros((c, mc), jnp.float32)
+            acc = (zero_tile, zero_tile, zero_tile, zero_tile, zero_tile)
+            acc, _ = pair_pass(0, 0, 0, True, acc)
+            for grp in _HS_ROW_GROUPS:
+                dz, dy = grp
+                parts = []
+                for dx in _HS_GROUP_DXS[grp]:
+                    acc, reaction = pair_pass(dz, dy, dx, False, acc)
+                    parts.append(reaction)
+                combined = [sum(p[k] for p in parts) for k in range(len(parts[0]))]
+                # Each program owns its rows of every group output — plain
+                # writes, no cross-program read-modify-write (HBM-safe).
+                ro[group_index[grp]][r] = jnp.concatenate(combined, axis=0)
+            accs.append(acc[:n_fields])
+
+        # ONE batched segment reduction across every sub-row's fields.
+        reduced = segsum(jnp.concatenate([t for acc in accs for t in acc], axis=0))
+        for r in range(rpp):
+            base = r * n_fields * c
+            fx[r] = reduced[base : base + c]
+            fy[r] = reduced[base + c : base + 2 * c]
+            fz[r] = reduced[base + 2 * c : base + 3 * c]
+            if compute_energy:
+                e_out[r] = reduced[base + 3 * c : base + 4 * c]
+                w_out[r] = reduced[base + 4 * c : base + 5 * c]
 
     return kernel
+
+
+def pick_streaming_rows(dims, c: int, n_f: int, n_cen: int, n_r: int) -> int:
+    """Largest row batch (≤ 32) whose per-program streaming working set
+    (5·n_f input rows + center block + expansion + outputs, double-buffered)
+    stays under ~8 MB of VMEM — the batching knob that amortizes the fixed
+    per-program cost without the resident kernel's whole-problem residency
+    pressure.  Rows are padded up to a batch multiple by the caller, so any
+    value is legal; the cap bounds both compile time (the kernel body
+    unrolls per row) and padding waste."""
+    mz, my, mx = dims
+    n_rows = mz * my
+    gc = (mx + 2) * c
+    mc = mx * c
+    per_row = 4 * (
+        5 * n_f * gc  # ghost row views
+        + n_cen * c * mx  # center block
+        + n_cen * c * mc  # batched expansion output
+        + 3 * c * mx + n_r * 5 * gc  # center outputs + reaction groups
+    )
+    fixed = 4 * (c * mc + mx * mc + mc * mx) + 10 * 4 * c * mc  # tiles + temporaries
+    budget = 8_000_000
+    best = 1
+    for r in range(2, min(32, n_rows) + 1):
+        if fixed + 2 * r * per_row <= budget:
+            best = r
+    return best
 
 
 def streaming_halfshell_call(
@@ -1060,51 +1111,73 @@ def streaming_halfshell_call(
     excl_e: int = 0,
     excl_cs: bool = False,
     excl_eb: int = 0,
+    rows_per_program: int = 0,
 ):
     """Raw half-shell streaming pallas_call over pre-built row views.
 
     views: 5 half-shell (dz, dy) row views per ghost field, each
     (Mz·My, 1, (Mx+2)·C) (order: fields × `_HS_ROW_GROUPS`); centers: the
     stacked (Mz·My, n·C, Mx) center block.  dims = (mz, my, mx) interior
-    cells.  Returns [fx, fy, fz, 5 × reaction row groups (Mz·My, n_r, G·C)
-    (+ e, w center outputs)]; the caller pads the groups back onto its ghost
-    grid and folds (periodically on one chip, via reverse halo ppermute
-    across shards)."""
+    cells.  rows_per_program: pencils per program (0 = auto via
+    `pick_streaming_rows`; must divide mz·my).  Returns [fx, fy, fz, 5 ×
+    reaction row groups (Mz·My, n_r, G·C) (+ e, w center outputs)]; the
+    caller pads the groups back onto its ghost grid and folds (periodically
+    on one chip, via reverse halo ppermute across shards)."""
     mz, my, mx = dims
     c = config.capacity
     g = mx + 2
     gc = g * c
+    mc = mx * c
     rs2 = float(config.switch) ** 2
     rc2 = float(config.cutoff) ** 2
     invd2 = 1.0 / (rc2 - rs2)
     uniform = uniform_params is not None
 
-    kernel = _make_streaming_kernel(
-        config, (rs2, invd2), compute_energy, interpret,
-        uniform_params=uniform_params, coulomb=coulomb,
-        excl_e=excl_e, excl_cs=excl_cs, excl_eb=excl_eb, dims=dims,
-    )
-
     n_f = 3 + (0 if uniform else 2) + (0 if coulomb is None else 1) + (1 if excl_e else 0)
     n_cen = n_f - (1 if excl_e else 0) + excl_e * (3 if excl_cs else 2)
     n_cen += excl_eb * (3 if compute_energy else 2)
     n_r = 5 if compute_energy else 3
-    ghost_spec = pl.BlockSpec((1, 1, gc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    center_spec = pl.BlockSpec((1, n_cen * c, mx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    out_center = pl.BlockSpec((1, c, mx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    out_react = pl.BlockSpec((1, n_r, gc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    rpp = rows_per_program or pick_streaming_rows(dims, c, n_f, n_cen, n_r)
+    n_rows = mz * my
+    n_pad = -(-n_rows // rpp) * rpp
+    if n_pad != n_rows:
+        # Pad the row axis to a batch multiple with EDGE copies (real data,
+        # so the duplicate rows compute valid — never NaN — arithmetic);
+        # every output is sliced back to n_rows below.
+        pad_rows = lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[-1:], (n_pad - n_rows,) + a.shape[1:])]
+        )
+        views = [pad_rows(v) for v in views]
+        centers = pad_rows(centers)
 
-    out_shapes = [jax.ShapeDtypeStruct((mz * my, c, mx), jnp.float32)] * 3
+    kernel = _make_streaming_kernel(
+        config, (rs2, invd2), compute_energy, interpret,
+        uniform_params=uniform_params, coulomb=coulomb,
+        excl_e=excl_e, excl_cs=excl_cs, excl_eb=excl_eb, dims=dims,
+        rows_per_program=rpp,
+    )
+
+    ghost_spec = pl.BlockSpec((rpp, 1, gc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    center_spec = pl.BlockSpec((rpp, n_cen * c, mx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    const_specs = [
+        pl.BlockSpec((c, mc), lambda i: (0, 0), memory_space=pltpu.VMEM),  # is_self
+        pl.BlockSpec((mx, mc), lambda i: (0, 0), memory_space=pltpu.VMEM),  # expand
+        pl.BlockSpec((mc, mx), lambda i: (0, 0), memory_space=pltpu.VMEM),  # seg bf16
+    ]
+    out_center = pl.BlockSpec((rpp, c, mx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_react = pl.BlockSpec((rpp, n_r, gc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    out_shapes = [jax.ShapeDtypeStruct((n_pad, c, mx), jnp.float32)] * 3
     out_specs = [out_center] * 3
-    out_shapes += [jax.ShapeDtypeStruct((mz * my, n_r, gc), jnp.float32)] * 5
+    out_shapes += [jax.ShapeDtypeStruct((n_pad, n_r, gc), jnp.float32)] * 5
     out_specs += [out_react] * 5
     if compute_energy:
-        out_shapes += [jax.ShapeDtypeStruct((mz * my, c, mx), jnp.float32)] * 2
+        out_shapes += [jax.ShapeDtypeStruct((n_pad, c, mx), jnp.float32)] * 2
         out_specs += [out_center] * 2
 
     call_kwargs = dict(
-        grid=(mz * my,),
-        in_specs=[ghost_spec] * (5 * n_f) + [center_spec],
+        grid=(n_pad // rpp,),
+        in_specs=[ghost_spec] * (5 * n_f) + [center_spec] + const_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
     )
@@ -1114,7 +1187,10 @@ def streaming_halfshell_call(
         call_kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         )
-    return pl.pallas_call(kernel, **call_kwargs)(*views, centers)
+    outs = pl.pallas_call(kernel, **call_kwargs)(*views, centers, *_const_tiles(mx, c))
+    if n_pad != n_rows:
+        outs = [o[:n_rows] for o in outs]
+    return outs
 
 
 @partial(

@@ -38,6 +38,28 @@ import pytest
 REFERENCE_DATA = "/root/reference/test/data"
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--full", action="store_true", default=False,
+        help="run the full tier (expensive sharded/fidelity tests) too",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: the default run is the QUICK tier (CI-friendly, keeps
+    `pytest tests/ -x -q` a habit as the suite grows); `--full` (or
+    EMDEE_TEST_FULL=1) adds the expensive long-rollout/sharded gates —
+    run that tier before benching or shipping engine changes."""
+    if config.getoption("--full") or os.environ.get("EMDEE_TEST_FULL"):
+        return
+    skip = pytest.mark.skip(
+        reason="full-tier test — pass --full (or EMDEE_TEST_FULL=1)"
+    )
+    for item in items:
+        if "full" in item.keywords:
+            item.add_marker(skip)
+
+
 def reference_data_path(name: str):
     path = os.path.join(REFERENCE_DATA, name)
     return path if os.path.exists(path) else None
