@@ -995,7 +995,10 @@ def make_grid_sharded_sim(
     def _rebin_local(pos, vel, inv_m, hs, tse, aid, valid, overflow, forces, q):
         """Per-shard shift rebin: three ±1 routing passes (z, y, x), each
         pass's cross-shard candidate layers delivered by one ppermute pair —
-        atom migration between shards costs the same as a halo exchange."""
+        atom migration between shards costs the same as a halo exchange.
+
+        forces=None (the leapfrog NVE path) routes 3 fewer fields through
+        the bandwidth-bound log-shift rounds; new_f is then None."""
         ncl = mz * my * mx
         flat = lambda a: a.reshape((ncl,) + a.shape[3:])
         posf = flat(pos)
@@ -1009,8 +1012,10 @@ def make_grid_sharded_sim(
         if q is not None:
             q_col = len(fields)
             fields.append(flat(q))
-        f_col = len(fields)
-        fields += [flat(forces)[..., i] for i in range(3)]
+        f_col = None
+        if forces is not None:
+            f_col = len(fields)
+            fields += [flat(forces)[..., i] for i in range(3)]
         fields.append(flat(aid))
         nf = len(fields)
         # Pass order z, y, x — matches the single-chip `_rebin_shift`, so
@@ -1026,15 +1031,17 @@ def make_grid_sharded_sim(
         new_pos = jnp.where(validf[..., None], new_pos, 0.0)
         zero = lambda a: jnp.where(validf, a, 0.0)
         new_vel = jnp.where(validf[..., None], jnp.stack(fields[3:6], axis=-1), 0.0)
-        new_f = jnp.where(
-            validf[..., None], jnp.stack(fields[f_col : f_col + 3], axis=-1), 0.0
-        )
+        new_f = None
+        if f_col is not None:
+            new_f = unflat(jnp.where(
+                validf[..., None], jnp.stack(fields[f_col : f_col + 3], axis=-1), 0.0
+            ))
         new_aid = jnp.where(validf, fields[nf - 1], config.num_slots)
         new_q = None if q_col is None else unflat(zero(fields[q_col]))
         return (
             unflat(new_pos), unflat(new_vel), unflat(zero(fields[6])),
             unflat(zero(fields[7])), unflat(zero(fields[8])), unflat(new_aid),
-            unflat(validf), overflow, unflat(new_f), unflat(new_pos), new_q,
+            unflat(validf), overflow, new_f, unflat(new_pos), new_q,
         )
 
     def _needs_rebin_local(pos, ref, valid):
@@ -1166,12 +1173,75 @@ def make_grid_sharded_sim(
             overflow = overflow | _needs_rebin_local(pos, ref, valid)
             return (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f, q, key, boxv)
 
+        def run_block_lf(carry, length):
+            # Leapfrog NVE block (no thermostat/barostat): velocities ride a
+            # half-step offset, each step is (drift, force, full kick), and
+            # NO force field crosses the rebin — 3 fewer routed arrays in
+            # the bandwidth-bound shift-rebin rounds (the single-chip
+            # engine's same optimization, cell_dense.py rollout).
+            pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, q = carry
+            (pos, vel, inv_m, hs, tse, aid, valid, overflow, _f, ref, q) = _rebin_local(
+                pos, vel, inv_m, hs, tse, aid, valid, overflow, None, q
+            )
+            aux = _aux_of(aid)
+            ebind = None
+            if has_terms:
+                ebind, bad = _bind_terms(aid, valid)
+                overflow = overflow | bad
+
+            def lf_step(c, _):
+                pos, vel = c
+                x = pos + dt_f * vel
+                x = jnp.where(valid[..., None], x, pos)
+                f = forces_of(x, hs, tse, valid, q, aid, aux, ebind)
+                v = vel + dt_f * f * inv_m[..., None]
+                v = jnp.where(valid[..., None], v, 0.0)
+                return (x, v), None
+
+            (pos, vel), _ = jax.lax.scan(lf_step, (pos, vel), None, length=length)
+            overflow = overflow | _needs_rebin_local(pos, ref, valid)
+            return (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, q)
+
+        blocks, rem = divmod(num_steps, rebin_every)
+
+        if thermostat is None and barostat is None and num_steps:
+            ebind0 = None
+            if has_terms:
+                ebind0, bad0 = _bind_terms(aid, valid)
+                overflow = overflow | bad0
+            f0 = forces_of(pos, hs, tse, valid, q, aid, _aux_of(aid), ebind0)
+            vel = jnp.where(
+                valid[..., None], vel + (0.5 * dt_f) * f0 * inv_m[..., None], 0.0
+            )
+            carry = (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, q)
+            if blocks:
+                carry, _ = jax.lax.scan(
+                    lambda cr, _: (run_block_lf(cr, rebin_every), None), carry,
+                    None, length=blocks,
+                )
+            if rem:
+                carry = run_block_lf(carry, rem)
+            (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, q) = carry
+            ebind1 = None
+            if has_terms:
+                ebind1, bad1 = _bind_terms(aid, valid)
+                overflow = overflow | bad1
+            f_end = forces_of(pos, hs, tse, valid, q, aid, _aux_of(aid), ebind1)
+            vel = jnp.where(
+                valid[..., None], vel - (0.5 * dt_f) * f_end * inv_m[..., None], 0.0
+            )
+            overflow = _all_reduce_or(overflow)
+            q_out = q if q is not None else jnp.zeros((), jnp.float32)
+            return (
+                pos, vel, inv_m, hs, tse, aid, valid, ref, step + num_steps,
+                overflow, boxv, q_out,
+            )
+
         ebind0 = None
         if has_terms:
             ebind0, bad0 = _bind_terms(aid, valid)
             overflow = overflow | bad0
         f0 = forces_of(pos, hs, tse, valid, q, aid, _aux_of(aid), ebind0)
-        blocks, rem = divmod(num_steps, rebin_every)
         carry = (pos, vel, inv_m, hs, tse, aid, valid, ref, overflow, f0, q, rng, boxv)
         if blocks:
             carry, _ = jax.lax.scan(

@@ -1302,6 +1302,68 @@ def make_cell_dense_sim(
             rng = jax.random.PRNGKey(0)  # unused by the NVE step
         if barostat is not None and state.box is None:
             state = state._replace(box=jnp.float32(config.box))
+
+        if thermostat is None and barostat is None and not record and num_steps:
+            # Leapfrog-structured NVE: velocities ride a half step offset
+            # inside the rollout, so each step is (drift, force, full kick)
+            # and NO FORCE FIELD crosses a rebin — the shift rebin routes
+            # 3 fewer (cells, C) arrays through its bandwidth-bound log-shift
+            # rounds (~25-30% of the rebin at the uniform-LJ configs, the
+            # dominant slice of the 1M-atom rebin cost).  Identical physics
+            # to kick-drift-kick (the same update reassociated; trajectories
+            # agree to f32 roundoff); velocities are re-synced by a closing
+            # half un-kick, whose force pass is one extra evaluation per
+            # ROLLOUT, not per block.  Thermostats, barostats and record mode
+            # keep the synced KDK path (they read v at integer steps).
+            aux0 = aux_fn(state) if aux_fn is not None else None
+            eaux0 = extra_aux_fn(state) if extra_aux_fn is not None else None
+            f0 = forces_of(state, aux0, eaux0)
+            state = state._replace(
+                velocities=state.velocities
+                + (0.5 * dt_f) * f0 * state.inv_masses[..., None]
+            )
+
+            def lf_block(length):
+                def block(st, _):
+                    st = rebin_fn(st, config)
+                    aux = aux_fn(st) if aux_fn is not None else None
+                    eaux = extra_aux_fn(st) if extra_aux_fn is not None else None
+
+                    def lf_step(s, _):
+                        new_pos = s.positions + dt_f * s.velocities
+                        new_pos = jnp.where(
+                            s.valid[..., None], new_pos, s.positions
+                        )
+                        s = s._replace(positions=new_pos)
+                        f = forces_of(s, aux, eaux)
+                        return s._replace(
+                            velocities=s.velocities
+                            + dt_f * f * s.inv_masses[..., None],
+                            step=s.step + 1,
+                        ), None
+
+                    st, _ = jax.lax.scan(lf_step, st, None, length=length)
+                    return st._replace(
+                        overflow=st.overflow | _needs_rebin(st, config)
+                    ), None
+
+                return block
+
+            st = state
+            if blocks:
+                st, _ = jax.lax.scan(lf_block(rebin_every), st, None, length=blocks)
+            if rem:
+                st, _ = lf_block(rem)(st, None)
+            f_end = forces_of(
+                st,
+                aux_fn(st) if aux_fn is not None else None,
+                extra_aux_fn(st) if extra_aux_fn is not None else None,
+            )
+            return st._replace(
+                velocities=st.velocities
+                - (0.5 * dt_f) * f_end * st.inv_masses[..., None]
+            )
+
         f0 = forces_of(
             state,
             aux_fn(state) if aux_fn is not None else None,

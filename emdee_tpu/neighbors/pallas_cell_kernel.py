@@ -1072,13 +1072,14 @@ def _make_streaming_kernel(
 
 
 def pick_streaming_rows(dims, c: int, n_f: int, n_cen: int, n_r: int) -> int:
-    """Largest row batch (≤ 32) whose per-program streaming working set
+    """Largest row batch (≤ 8) whose per-program streaming working set
     (5·n_f input rows + center block + expansion + outputs, double-buffered)
     stays under ~8 MB of VMEM — the batching knob that amortizes the fixed
     per-program cost without the resident kernel's whole-problem residency
     pressure.  Rows are padded up to a batch multiple by the caller, so any
     value is legal; the cap bounds both compile time (the kernel body
-    unrolls per row) and padding waste."""
+    unrolls ~14 pair passes per row) and padding waste — batching removes
+    1−1/r of the fixed cost, so r=8 already captures ~88% of the win."""
     mz, my, mx = dims
     n_rows = mz * my
     gc = (mx + 2) * c
@@ -1092,7 +1093,7 @@ def pick_streaming_rows(dims, c: int, n_f: int, n_cen: int, n_r: int) -> int:
     fixed = 4 * (c * mc + mx * mc + mc * mx) + 10 * 4 * c * mc  # tiles + temporaries
     budget = 8_000_000
     best = 1
-    for r in range(2, min(32, n_rows) + 1):
+    for r in range(2, min(8, n_rows) + 1):
         if fixed + 2 * r * per_row <= budget:
             best = r
     return best

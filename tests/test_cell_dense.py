@@ -77,6 +77,7 @@ def test_rollout_matches_allpairs_trajectory():
     np.testing.assert_allclose(vel_d, np.asarray(ref.velocities), atol=5e-4)
 
 
+@pytest.mark.full
 def test_nve_conservation_with_rebinning():
     """Long enough that displacement-triggered rebins fire; energy must hold."""
     pos, vel, L, params, config, model = _setup(n=2197, density=0.7, T=1.2, skin=0.3)
@@ -166,6 +167,7 @@ def test_rebin_shift_flags_fast_atom():
     assert bool(out.overflow)
 
 
+@pytest.mark.full
 def test_squeeze_then_shrink_capacity():
     """spill_target squeezing at wide capacity, then shrink_capacity to the
     tight config, preserves the physics (trajectory matches all-pairs)."""
@@ -270,3 +272,31 @@ def test_init_wraps_out_of_range_positions():
     f_pal, _, _ = pallas_cell_forces(st_off, model, config, compute_energy=True,
                                      interpret=True)
     np.testing.assert_allclose(np.asarray(f_pal), np.asarray(f_xla), atol=1e-2)
+
+
+def test_leapfrog_nve_matches_kdk():
+    """The NVE fast path restructures velocity-Verlet as leapfrog inside the
+    rollout (no force transport through the rebin — cell_dense.py rollout);
+    trajectories must match the synced kick-drift-kick path (record=True
+    keeps it) to f32 reassociation roundoff, and the returned velocities
+    must be re-synced to integer steps."""
+    pos, vel, L, params, config, model = _setup(n=1000, density=0.5)
+    n = pos.shape[0]
+    st = cell_dense_init(pos, vel, np.ones(n), params, config)
+    assert not bool(st.overflow)
+    rollout, energy = make_cell_dense_sim(config, model, dt=0.002, backend="xla")
+
+    out_lf = rollout(st, num_steps=30, rebin_every=5)
+    out_kdk, _ = rollout(st, num_steps=30, rebin_every=5, record=True)
+    assert not bool(out_lf.overflow) and not bool(out_kdk.overflow)
+    assert int(out_lf.step) == 30
+
+    p_lf, v_lf = gather_dense_atoms(out_lf, n)
+    p_kdk, v_kdk = gather_dense_atoms(out_kdk, n)
+    np.testing.assert_allclose(p_lf, p_kdk, atol=5e-4)
+    np.testing.assert_allclose(v_lf, v_kdk, atol=5e-4)
+
+    # Energy bookkeeping sees synced velocities: total energy conserved.
+    pe0, _, ke0 = (float(x) for x in energy(st))
+    pe1, _, ke1 = (float(x) for x in energy(out_lf))
+    assert abs((pe1 + ke1) - (pe0 + ke0)) / max(abs(pe0 + ke0), 1.0) < 2e-4

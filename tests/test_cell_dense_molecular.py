@@ -133,6 +133,7 @@ def test_molecular_dense_matches_list_path_dioxin():
     np.testing.assert_allclose(vel_d, np.asarray(ref.velocities), atol=1e-2)
 
 
+@pytest.mark.full
 def test_kernel_exclusions_match_correction_pass():
     """The kernel-resident exclusion tags (per-pair id comparisons) and the
     atom-space correction pass are the same physics: identical energies and
@@ -172,6 +173,7 @@ def test_kernel_exclusions_match_correction_pass():
     np.testing.assert_allclose(vel_k, vel_c, atol=5e-2)
 
 
+@pytest.mark.full
 def test_molecular_dense_water_box_10k():
     """A ≥10k-atom water box (2×2×2 tiled fixture) on the dense engine:
     matches the list path and conserves energy over a short NVE window."""
@@ -202,6 +204,7 @@ def test_molecular_dense_water_box_10k():
     np.testing.assert_allclose(vel_d, np.asarray(ref.velocities), rtol=2e-2, atol=3e-2)
 
 
+@pytest.mark.full
 def test_exclusion_band_split_matches_full_width():
     """Capping the kernel tag width (exclusion_band) and routing the
     remainder through the slot-space pair correction must reproduce the
@@ -291,6 +294,7 @@ def test_build_exclusion_tables_bond_piggyback():
     assert kb.shape[-1] <= ids.shape[-1]
 
 
+@pytest.mark.full
 def test_inkernel_bond_tags_match_gather_path():
     """In-kernel harmonic bonds (tag piggyback, Pallas interpret mode) must
     reproduce the XLA gather-path trajectory and energy bookkeeping."""

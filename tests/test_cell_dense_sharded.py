@@ -85,6 +85,7 @@ def test_sharded_rollout_matches_single_device():
     np.testing.assert_allclose(v_out, v_ref, atol=2e-4)
 
 
+@pytest.mark.full
 def test_sharded_energy_conservation():
     st, config, model, n = _setup(n=4096, density=0.25, T=0.8)
     mesh = make_mesh(4)

@@ -41,7 +41,12 @@ def _temperature(state, n):
 
 @pytest.mark.parametrize(
     "thermostat",
-    [CSVRConfig(temperature=1.0, tau=0.2), LangevinConfig(temperature=1.0, friction=2.0)],
+    [
+        CSVRConfig(temperature=1.0, tau=0.2),
+        pytest.param(
+            LangevinConfig(temperature=1.0, friction=2.0), marks=pytest.mark.full
+        ),
+    ],
     ids=["csvr", "langevin"],
 )
 def test_dense_thermostat_relaxes_to_target(thermostat):
@@ -72,6 +77,7 @@ def test_dense_thermostat_requires_rng():
         rollout(st, num_steps=4, rebin_every=2)
 
 
+@pytest.mark.full
 def test_dense_nve_unchanged_by_thermostat_plumbing():
     """rng threading must not change the NVE path: same trajectory as before
     (bitwise) whether or not an (unused) key is passed."""
@@ -82,6 +88,7 @@ def test_dense_nve_unchanged_by_thermostat_plumbing():
     np.testing.assert_array_equal(np.asarray(a.positions), np.asarray(b.positions))
 
 
+@pytest.mark.full
 def test_dense_npt_relaxes_pressure():
     """Berendsen pressure coupling on the dense engine: from a compressed LJ
     liquid far above the target pressure, the dynamic box must expand and the

@@ -109,6 +109,7 @@ def test_sharded_rollout_matches_single_device():
     np.testing.assert_allclose(vel_sh, np.asarray(ref.velocities), atol=5e-4)
 
 
+@pytest.mark.full
 def test_sharded_energy_conservation():
     pos, vel, L = _system(3000, density=0.15)
     n = pos.shape[0]

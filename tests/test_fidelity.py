@@ -69,6 +69,7 @@ def test_bitwise_determinism_grid_sharded():
     np.testing.assert_array_equal(_bits(a.velocities), _bits(b.velocities))
 
 
+@pytest.mark.full
 def test_nve_drift_1e6_f64_measured():
     """BASELINE fidelity target: NVE drift ≤ 1e-6 of KE on a ≥10k-atom
     rollout, energies measured in f64 (compensated measurement over the f32

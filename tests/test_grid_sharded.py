@@ -90,6 +90,7 @@ def test_grid_rollout_matches_single_chip(shape):
     np.testing.assert_allclose(v_out, v_ref, atol=2e-4)
 
 
+@pytest.mark.full
 def test_grid_energy_conservation():
     st, config, model, n = _setup(n=4096, density=0.25, T=0.8)
     mesh = make_grid_mesh((2, 2, 2))
@@ -185,6 +186,7 @@ def test_grid_molecular_matches_single_chip():
     np.testing.assert_allclose(v_out, v_ref, atol=2e-4)
 
 
+@pytest.mark.full
 def test_grid_bonded_leftover_matches_single_chip():
     """Full molecular decomposition on the 3D grid-sharded engine — bonded
     terms (bonds/angles/torsions, owner-computes on the extended ghost grid)
@@ -259,6 +261,7 @@ def test_grid_bonded_leftover_matches_single_chip():
     np.testing.assert_allclose(v_out, v_ref, atol=1e-2)
 
 
+@pytest.mark.full
 def test_grid_streaming_interpret_matches_xla():
     """The per-shard HBM-streaming kernel (for shards beyond VMEM residency)
     under shard_map agrees with the portable XLA half-shell — same halo
@@ -281,7 +284,10 @@ def test_grid_streaming_interpret_matches_xla():
 import pytest as _pytest
 
 
-@_pytest.mark.parametrize("kind", ["csvr", "langevin"])
+@_pytest.mark.parametrize(
+    "kind",
+    ["csvr", _pytest.param("langevin", marks=_pytest.mark.full)],
+)
 def test_grid_thermostat_relaxes_to_target(kind):
     """Thermostats on the 3D grid-sharded engine: CSVR (KE psum + replicated
     key → identical global rescale on all shards) and Langevin (per-shard
@@ -316,6 +322,7 @@ def test_grid_thermostat_relaxes_to_target(kind):
     np.testing.assert_array_equal(np.asarray(a.positions), np.asarray(b.positions))
 
 
+@pytest.mark.full
 def test_grid_npt_relaxes_pressure():
     """Berendsen NPT on the 3D grid-sharded engine: pressure from a psum'd
     energy pass, μ-rescale of positions + the replicated dynamic box at

@@ -105,6 +105,7 @@ def _triatomic_fixture(seed=71):
 
 
 @pytest.mark.parametrize("backend", PALLAS_BACKENDS)
+@pytest.mark.full
 def test_grid_molecular_pallas_matches_xla(backend):
     """Full molecular decomposition (coulomb + tags + bonded + leftovers) on
     the per-shard Pallas kernels under shard_map ≡ the XLA sharded engine —
@@ -140,6 +141,7 @@ def test_grid_molecular_pallas_matches_xla(backend):
 
 
 @pytest.mark.parametrize("backend", PALLAS_BACKENDS)
+@pytest.mark.full
 def test_grid_npt_runs_on_pallas_energy_path(backend):
     """Berendsen NPT + CSVR on the Pallas backends: the pressure pass uses
     the kernels' compute_energy mode (no XLA force pass anywhere in the
@@ -167,7 +169,13 @@ def test_grid_npt_runs_on_pallas_energy_path(backend):
     np.testing.assert_allclose(pp, px, atol=1e-4)
 
 
-@pytest.mark.parametrize("backend", PALLAS_BACKENDS)
+@pytest.mark.parametrize(
+    "backend",
+    [
+        "pallas_interpret",
+        pytest.param("pallas_streaming_interpret", marks=pytest.mark.full),
+    ],
+)
 def test_grid_lj_energy_pallas_matches_xla(backend):
     """Plain-LJ sharded energy through the kernels' compute_energy mode ≡
     the XLA sharded energy (uniform-params fast path, no molecular extras)."""

@@ -59,6 +59,7 @@ def test_kernel_zero_on_empty_slots():
     np.testing.assert_array_equal(np.asarray(e_k)[invalid], 0.0)
 
 
+@pytest.mark.full
 def test_sim_with_pallas_backend_matches_xla():
     st, config, model, n = _setup(n=512, density=0.4)
     roll_x, energy_x = make_cell_dense_sim(config, model, dt=0.002, backend="xla")
@@ -75,6 +76,7 @@ def test_sim_with_pallas_backend_matches_xla():
     np.testing.assert_allclose(ep, ex, rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.full
 def test_streaming_kernel_matches_xla_dense():
     """The HBM-streaming variant (for N beyond VMEM residency) gates against
     the XLA dense engine too."""
@@ -157,6 +159,7 @@ def test_kernel_charged_with_exclusions_matches_xla():
     _, e0, _ = cell_dense_forces(st, model, config, coul, None, compute_energy=True)
     assert abs(float(jnp.where(st.valid, e_x - e0, 0.0).sum())) > 1.0
 
+@pytest.mark.full
 def test_streaming_kernel_charged_with_exclusions_matches_xla():
     """The HBM-streaming kernel carries the full molecular feature set (DSF
     Coulomb + kernel-resident exclusion tags + half-shell Newton reactions):

@@ -117,6 +117,7 @@ def test_reconfigure_after_box_shrink_guard():
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 (virtual) devices")
+@pytest.mark.full
 def test_reconfigure_grid_continues_npt():
     """Grid-sharded continuation: grow the box past the shard geometry,
     reconfigure over the same mesh, and keep rolling — the full protocol a

@@ -1,6 +1,7 @@
 """High-level runner test: chunks, trajectory dumps, checkpoints, records."""
 
 import numpy as np
+import pytest
 
 from emdee_tpu.neighbors.cell_dense import (
     cell_dense_init,
@@ -12,6 +13,7 @@ from emdee_tpu.utils.lattice import cubic_lattice, maxwell_boltzmann
 from emdee_tpu.utils.runner import RunnerConfig, run_dense_simulation
 
 
+@pytest.mark.full
 def test_runner_end_to_end(tmp_path):
     n = 512
     pos, L = cubic_lattice(n, 0.5, jitter=0.05, seed=3)

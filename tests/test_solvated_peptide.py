@@ -46,6 +46,7 @@ def test_solvated_peptide_builds_and_types(peptide_system):
     assert int(tabs[0].shape[-1]) >= 12
 
 
+@pytest.mark.full
 def test_solvated_peptide_fire_then_nvt(peptide_system):
     """FIRE relaxes the constructed geometry, then CSVR NVT runs stably on
     the dense engine with the exclusion-band split (band < E, leftover pairs
