@@ -660,14 +660,9 @@ def make_grid_sharded_sim(
         gz, gy, gx = mz + 2, my + 2, mx + 2
         gxc = gx * c
         ghosts4, centers = _build_ghosts_centers(pos, hs, tse, valid, q, aid_f, aux)
-        views = []
-        for g4 in ghosts4:
-            flat = g4.reshape(gz, gy, gxc)
-            for dz, dy in _HS_ROW_GROUPS:
-                v = jax.lax.slice(flat, (dz + 1, dy + 1, 0), (dz + 1 + mz, dy + 1 + my, gxc))
-                views.append(v.reshape(mz * my, 1, gxc))
         outs = streaming_halfshell_call(
-            views, centers, config, (mz, my, mx),
+            [g4.reshape(gz, gy, 1, gxc) for g4 in ghosts4], centers,
+            config, (mz, my, mx),
             compute_energy=False, interpret=interpret,
             uniform_params=uniform_params, coulomb=cc,
             excl_e=excl_e, excl_cs=excl_cs,
@@ -719,16 +714,9 @@ def make_grid_sharded_sim(
                 streaming_halfshell_call,
             )
 
-            views = []
-            for g4 in ghosts4:
-                flat = g4.reshape(gz, gy, gxc)
-                for dz, dy in _HS_ROW_GROUPS:
-                    v = jax.lax.slice(
-                        flat, (dz + 1, dy + 1, 0), (dz + 1 + mz, dy + 1 + my, gxc)
-                    )
-                    views.append(v.reshape(mz * my, 1, gxc))
             outs = streaming_halfshell_call(
-                views, centers, config, (mz, my, mx),
+                [g4.reshape(gz, gy, 1, gxc) for g4 in ghosts4], centers,
+                config, (mz, my, mx),
                 compute_energy=True, interpret=interpret,
                 uniform_params=uniform_params, coulomb=cc,
                 excl_e=excl_e, excl_cs=excl_cs,

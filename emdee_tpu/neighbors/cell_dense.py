@@ -509,6 +509,13 @@ def _route_axis_pass(fields, valid, overflow, cf, b, m, config, spill_eps, nbr, 
 
         fields = compact_window_pallas(s, cand, c)
     else:
+        # Per-field roll+select rounds.  (Packing every field into ONE
+        # (cells, n·3C) lane-packed array — to shed the 96→128 lane-pad
+        # waste — was measured 2.3× SLOWER at 1M atoms: 27.8 vs 12.0 ms
+        # per rebin on v5e.  XLA fuses each field's 7-round roll/select
+        # chain into far fewer HBM passes when the arrays stay separate;
+        # one big packed array defeated that fusion and paid full traffic
+        # per round.  Keep the fields separate.)
         for j in range(n_bits):
             sh = 1 << j
             moving = (s & sh) != 0

@@ -890,13 +890,16 @@ def _prep_streaming_inputs(
     excl=None,
     bond_energy: bool = False,
 ):
-    """Ghost neighborhood as 5 per-(dz,dy) HALF-SHELL row views of shape
-    (M², 1, G·C) per field.
+    """Ghost fields as (G, G, G·C) arrays + the stacked center block.
 
-    Pallas block index maps cannot express overlapping (halo) windows, so the
-    five (dz, dy) neighbor rows each program needs are materialized as five
-    shifted views per field in XLA — plain slices of the ghosted grid, cheap
-    relative to the pair math they feed.  kc/excl mirror `_prep_inputs`."""
+    Each ghost field is passed to the streaming pallas_call FIVE times with
+    per-(dz, dy) block index maps — program (z, y) reads blocks
+    (z+dz+1, y+dy+1, :) straight out of the one HBM copy.  (An earlier
+    version materialized the five shifted row views per field in XLA:
+    ~100 MB written + re-read per step at 1M atoms, all of it removable
+    because the (dz, dy) offsets ARE expressible as block index maps — only
+    the x-axis halo windows aren't, and those are `pl.ds` lane slices inside
+    the row.)  kc/excl mirror `_prep_inputs`."""
     m, c = config.cells_per_dim, config.capacity
     g = m + 2
     pos = _sentinel_positions(state, config)
@@ -934,35 +937,29 @@ def _prep_streaming_inputs(
             if bond_energy:
                 cen_fields += [kr02[..., e] for e in range(e_b)]
 
-    views = []
-    for field in fields:
-        flat_x = field.reshape(g, g, g * c)
-        for dz, dy in _HS_ROW_GROUPS:
-            v = jax.lax.slice(flat_x, (dz + 1, dy + 1, 0), (dz + 1 + m, dy + 1 + m, g * c))
-            views.append(v.reshape(m * m, 1, g * c))
+    # 4D (G, G, 1, G·C): the unit axis makes the (…, 1, G·C) block's last
+    # two dims full-sized, which Mosaic's block-shape rule requires (a
+    # (1, 1, G·C) block over (G, G, G·C) has a second-minor block dim of 1
+    # against an array dim of G — rejected on real TPUs).
+    ghosts = [field.reshape(g, g, 1, g * c) for field in fields]
 
     def center(a):
         return a.reshape(m * m, m, c).transpose(0, 2, 1)
 
     centers = jnp.concatenate([center(a) for a in cen_fields], axis=1)
-    return views, centers
+    return ghosts, centers
 
 
 def _make_streaming_kernel(
     config: CellDenseConfig, model_consts, compute_energy, interpret,
     uniform_params=None, coulomb=None, excl_e: int = 0, excl_cs: bool = False,
-    excl_eb: int = 0, dims=None, rows_per_program: int = 1,
+    excl_eb: int = 0, dims=None,
 ):
     """dims=(mz, my, mx): interior cell-grid shape — cubic (M, M, M) on one
-    chip, a shard's local block under shard_map.
-
-    rows_per_program: (z, y) pencils per grid program (must divide mz·my).
-    Unlike the resident kernel — where batching lost to whole-problem VMEM
-    pressure — the streaming kernel's per-program working set is a few row
-    blocks, so batching amortizes the fixed per-program cost (prologue, DMA
-    issue, MXU dispatch latency) with VMEM to spare; the center-expansion
-    and segment-reduction matmuls batch across the sub-rows."""
-    rpp = rows_per_program
+    chip, a shard's local block under shard_map.  One program per (z, y)
+    pencil; the five half-shell ghost rows arrive as (1, 1, G·C) blocks of
+    the ghost arrays themselves (five index maps per field — no materialized
+    views)."""
     c = config.capacity
     mz, my, mx = dims if dims is not None else (config.cells_per_dim,) * 3
     m = mx  # lane-axis cell count
@@ -996,7 +993,7 @@ def _make_streaming_kernel(
         )
         outs = refs[5 * n_f + 4 :]
         fx, fy, fz = outs[:3]
-        ro = outs[3:8]  # 5 reaction row groups, each (rpp, n_r, G·C)
+        ro = outs[3:8]  # 5 reaction row groups, each (1, n_r, G·C)
         if compute_energy:
             e_out, w_out = outs[8:10]
 
@@ -1015,92 +1012,57 @@ def _make_streaming_kernel(
             out += jnp.dot(lo, sb, preferred_element_type=jnp.float32)
             return out
 
-        # ONE batched center expansion for every sub-row: (rpp·nC, M·C).
+        # ONE batched center expansion for every field: (nC, M·C).
         n_cen_c = centers.shape[1]
-        cen_alls = mm(centers[...].reshape(rpp * n_cen_c, m), expand)
+        cen_alls = mm(centers[...].reshape(n_cen_c, m), expand)
 
         n_fields = 5 if compute_energy else 3
-        accs = []
-        for r in range(rpp):
-            cen = _unpack_centers(
-                cen_alls[r * n_cen_c : (r + 1) * n_cen_c], c, uniform,
-                coulomb is not None, excl_e, excl_cs,
-                excl_eb=excl_eb, bond_energy=compute_energy,
-            )
+        cen = _unpack_centers(
+            cen_alls, c, uniform, coulomb is not None, excl_e, excl_cs,
+            excl_eb=excl_eb, bond_energy=compute_energy,
+        )
 
-            def load(name, dz, dy, win, r=r):
-                fi = names.index(name)
-                return ghost_refs[fi * 5 + group_index[(dz, dy)]][
-                    r, 0:1, pl.ds(win, mc)
-                ]
+        def load(name, dz, dy, win):
+            fi = names.index(name)
+            return ghost_refs[fi * 5 + group_index[(dz, dy)]][
+                0, 0, 0:1, pl.ds(win, mc)
+            ]
 
-            pair_pass = _build_pair_pass(
-                c=c, mc=mc, gc=gc, rs2=rs2, invd2=invd2, n_newton=n_newton,
-                interpret=interpret, compute_energy=compute_energy,
-                uniform_params=uniform_params, coulomb=coulomb,
-                excl_e=excl_e, excl_cs=excl_cs, is_self=is_self,
-                load=load, cen=cen, excl_eb=excl_eb,
-            )
+        pair_pass = _build_pair_pass(
+            c=c, mc=mc, gc=gc, rs2=rs2, invd2=invd2, n_newton=n_newton,
+            interpret=interpret, compute_energy=compute_energy,
+            uniform_params=uniform_params, coulomb=coulomb,
+            excl_e=excl_e, excl_cs=excl_cs, is_self=is_self,
+            load=load, cen=cen, excl_eb=excl_eb,
+        )
 
-            zero_tile = jnp.zeros((c, mc), jnp.float32)
-            acc = (zero_tile, zero_tile, zero_tile, zero_tile, zero_tile)
-            acc, _ = pair_pass(0, 0, 0, True, acc)
-            for grp in _HS_ROW_GROUPS:
-                dz, dy = grp
-                parts = []
-                for dx in _HS_GROUP_DXS[grp]:
-                    acc, reaction = pair_pass(dz, dy, dx, False, acc)
-                    parts.append(reaction)
-                combined = [sum(p[k] for p in parts) for k in range(len(parts[0]))]
-                # Each program owns its rows of every group output — plain
-                # writes, no cross-program read-modify-write (HBM-safe).
-                ro[group_index[grp]][r] = jnp.concatenate(combined, axis=0)
-            accs.append(acc[:n_fields])
+        zero_tile = jnp.zeros((c, mc), jnp.float32)
+        acc = (zero_tile, zero_tile, zero_tile, zero_tile, zero_tile)
+        acc, _ = pair_pass(0, 0, 0, True, acc)
+        for grp in _HS_ROW_GROUPS:
+            dz, dy = grp
+            parts = []
+            for dx in _HS_GROUP_DXS[grp]:
+                acc, reaction = pair_pass(dz, dy, dx, False, acc)
+                parts.append(reaction)
+            combined = [sum(p[k] for p in parts) for k in range(len(parts[0]))]
+            # Each program owns its row of every group output — plain
+            # writes, no cross-program read-modify-write (HBM-safe).
+            ro[group_index[grp]][0] = jnp.concatenate(combined, axis=0)
 
-        # ONE batched segment reduction across every sub-row's fields.
-        reduced = segsum(jnp.concatenate([t for acc in accs for t in acc], axis=0))
-        for r in range(rpp):
-            base = r * n_fields * c
-            fx[r] = reduced[base : base + c]
-            fy[r] = reduced[base + c : base + 2 * c]
-            fz[r] = reduced[base + 2 * c : base + 3 * c]
-            if compute_energy:
-                e_out[r] = reduced[base + 3 * c : base + 4 * c]
-                w_out[r] = reduced[base + 4 * c : base + 5 * c]
+        reduced = segsum(jnp.concatenate(list(acc[:n_fields]), axis=0))
+        fx[0] = reduced[0:c]
+        fy[0] = reduced[c : 2 * c]
+        fz[0] = reduced[2 * c : 3 * c]
+        if compute_energy:
+            e_out[0] = reduced[3 * c : 4 * c]
+            w_out[0] = reduced[4 * c : 5 * c]
 
     return kernel
 
 
-def pick_streaming_rows(dims, c: int, n_f: int, n_cen: int, n_r: int) -> int:
-    """Largest row batch (≤ 8) whose per-program streaming working set
-    (5·n_f input rows + center block + expansion + outputs, double-buffered)
-    stays under ~8 MB of VMEM — the batching knob that amortizes the fixed
-    per-program cost without the resident kernel's whole-problem residency
-    pressure.  Rows are padded up to a batch multiple by the caller, so any
-    value is legal; the cap bounds both compile time (the kernel body
-    unrolls ~14 pair passes per row) and padding waste — batching removes
-    1−1/r of the fixed cost, so r=8 already captures ~88% of the win."""
-    mz, my, mx = dims
-    n_rows = mz * my
-    gc = (mx + 2) * c
-    mc = mx * c
-    per_row = 4 * (
-        5 * n_f * gc  # ghost row views
-        + n_cen * c * mx  # center block
-        + n_cen * c * mc  # batched expansion output
-        + 3 * c * mx + n_r * 5 * gc  # center outputs + reaction groups
-    )
-    fixed = 4 * (c * mc + mx * mc + mc * mx) + 10 * 4 * c * mc  # tiles + temporaries
-    budget = 8_000_000
-    best = 1
-    for r in range(2, min(8, n_rows) + 1):
-        if fixed + 2 * r * per_row <= budget:
-            best = r
-    return best
-
-
 def streaming_halfshell_call(
-    views,
+    ghosts,
     centers,
     config: CellDenseConfig,
     dims,
@@ -1112,15 +1074,15 @@ def streaming_halfshell_call(
     excl_e: int = 0,
     excl_cs: bool = False,
     excl_eb: int = 0,
-    rows_per_program: int = 0,
 ):
-    """Raw half-shell streaming pallas_call over pre-built row views.
+    """Raw half-shell streaming pallas_call over the ghost fields.
 
-    views: 5 half-shell (dz, dy) row views per ghost field, each
-    (Mz·My, 1, (Mx+2)·C) (order: fields × `_HS_ROW_GROUPS`); centers: the
-    stacked (Mz·My, n·C, Mx) center block.  dims = (mz, my, mx) interior
-    cells.  rows_per_program: pencils per program (0 = auto via
-    `pick_streaming_rows`; must divide mz·my).  Returns [fx, fy, fz, 5 ×
+    ghosts: one (Gz, Gy, (Mx+2)·C) ghosted array per field (x, y, z[, hs,
+    tse][, q][, aid]); centers: the stacked (Mz·My, n·C, Mx) center block.
+    dims = (mz, my, mx) interior cells.  Each ghost array is passed to the
+    pallas_call five times with per-(dz, dy) block index maps — program
+    (z, y) DMAs rows (z+dz+1, y+dy+1) straight from the single HBM copy, so
+    no shifted row views are ever materialized.  Returns [fx, fy, fz, 5 ×
     reaction row groups (Mz·My, n_r, G·C) (+ e, w center outputs)]; the
     caller pads the groups back onto its ghost grid and folds (periodically
     on one chip, via reverse halo ppermute across shards)."""
@@ -1138,47 +1100,42 @@ def streaming_halfshell_call(
     n_cen = n_f - (1 if excl_e else 0) + excl_e * (3 if excl_cs else 2)
     n_cen += excl_eb * (3 if compute_energy else 2)
     n_r = 5 if compute_energy else 3
-    rpp = rows_per_program or pick_streaming_rows(dims, c, n_f, n_cen, n_r)
     n_rows = mz * my
-    n_pad = -(-n_rows // rpp) * rpp
-    if n_pad != n_rows:
-        # Pad the row axis to a batch multiple with EDGE copies (real data,
-        # so the duplicate rows compute valid — never NaN — arithmetic);
-        # every output is sliced back to n_rows below.
-        pad_rows = lambda a: jnp.concatenate(
-            [a, jnp.broadcast_to(a[-1:], (n_pad - n_rows,) + a.shape[1:])]
-        )
-        views = [pad_rows(v) for v in views]
-        centers = pad_rows(centers)
 
     kernel = _make_streaming_kernel(
         config, (rs2, invd2), compute_energy, interpret,
         uniform_params=uniform_params, coulomb=coulomb,
         excl_e=excl_e, excl_cs=excl_cs, excl_eb=excl_eb, dims=dims,
-        rows_per_program=rpp,
     )
 
-    ghost_spec = pl.BlockSpec((rpp, 1, gc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    center_spec = pl.BlockSpec((rpp, n_cen * c, mx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    def ghost_spec(dz, dy):
+        return pl.BlockSpec(
+            (1, 1, 1, gc),
+            lambda i, dz=dz, dy=dy: (i // my + dz + 1, i % my + dy + 1, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    ghost_specs = [ghost_spec(dz, dy) for dz, dy in _HS_ROW_GROUPS]
+    center_spec = pl.BlockSpec((1, n_cen * c, mx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     const_specs = [
         pl.BlockSpec((c, mc), lambda i: (0, 0), memory_space=pltpu.VMEM),  # is_self
         pl.BlockSpec((mx, mc), lambda i: (0, 0), memory_space=pltpu.VMEM),  # expand
         pl.BlockSpec((mc, mx), lambda i: (0, 0), memory_space=pltpu.VMEM),  # seg bf16
     ]
-    out_center = pl.BlockSpec((rpp, c, mx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    out_react = pl.BlockSpec((rpp, n_r, gc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_center = pl.BlockSpec((1, c, mx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_react = pl.BlockSpec((1, n_r, gc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
-    out_shapes = [jax.ShapeDtypeStruct((n_pad, c, mx), jnp.float32)] * 3
+    out_shapes = [jax.ShapeDtypeStruct((n_rows, c, mx), jnp.float32)] * 3
     out_specs = [out_center] * 3
-    out_shapes += [jax.ShapeDtypeStruct((n_pad, n_r, gc), jnp.float32)] * 5
+    out_shapes += [jax.ShapeDtypeStruct((n_rows, n_r, gc), jnp.float32)] * 5
     out_specs += [out_react] * 5
     if compute_energy:
-        out_shapes += [jax.ShapeDtypeStruct((n_pad, c, mx), jnp.float32)] * 2
+        out_shapes += [jax.ShapeDtypeStruct((n_rows, c, mx), jnp.float32)] * 2
         out_specs += [out_center] * 2
 
     call_kwargs = dict(
-        grid=(n_pad // rpp,),
-        in_specs=[ghost_spec] * (5 * n_f) + [center_spec] + const_specs,
+        grid=(n_rows,),
+        in_specs=ghost_specs * n_f + [center_spec] + const_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
     )
@@ -1188,10 +1145,8 @@ def streaming_halfshell_call(
         call_kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         )
-    outs = pl.pallas_call(kernel, **call_kwargs)(*views, centers, *_const_tiles(mx, c))
-    if n_pad != n_rows:
-        outs = [o[:n_rows] for o in outs]
-    return outs
+    inputs = [gh for gh in ghosts for _ in _HS_ROW_GROUPS]
+    return pl.pallas_call(kernel, **call_kwargs)(*inputs, centers, *_const_tiles(mx, c))
 
 
 @partial(
@@ -1232,13 +1187,13 @@ def pallas_cell_forces_streaming(
     excl_e = 0 if excl is None else int(excl[0].shape[-1])
     excl_cs = excl is not None and excl[2] is not None
     bond = None if excl is None or len(excl) < 4 else excl[3]
-    views, centers = _prep_streaming_inputs(
+    ghosts, centers = _prep_streaming_inputs(
         state, config, uniform=uniform,
         kc=0.0 if coulomb is None else coulomb[4], excl=excl,
         bond_energy=compute_energy,
     )
     outs = streaming_halfshell_call(
-        views, centers, config, (m, m, m),
+        ghosts, centers, config, (m, m, m),
         compute_energy=compute_energy, interpret=interpret,
         uniform_params=uniform_params, coulomb=coulomb,
         excl_e=excl_e, excl_cs=excl_cs,
