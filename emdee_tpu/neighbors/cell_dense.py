@@ -540,6 +540,7 @@ def _rebin_shift(
     forces: Optional[jax.Array] = None,
     uniform_params=None,
     uniform_mass: Optional[float] = None,
+    backend: str = "xla",
 ):
     """Gather-free incremental rebin: three axis passes of ±1-cell routing.
 
@@ -607,17 +608,46 @@ def _rebin_shift(
     overflow = state.overflow
     spill_eps = float(config.cell_side) - float(config.cutoff) - float(config.skin)
 
-    # Passes over the (z, y, x) cell grid axes; `off` is the +1 cell offset
-    # in `_roll_cells`'s (ox, oy, oz) convention, `cf` the position
-    # component (x=0, y=1, z=2) binned by this pass.
-    cell_ids = jnp.arange(nc, dtype=jnp.int32)
-    for axis, off, cf in ((0, (0, 0, 1), 2), (1, (0, 1, 0), 1), (2, (1, 0, 0), 0)):
-        # Cell's own coordinate along this axis (cell id = x + M·(y + M·z)).
-        b = {2: cell_ids % m, 1: (cell_ids // m) % m, 0: cell_ids // (m * m)}[axis]
-        nbr = lambda x, d, off=off: _roll_cells(x, tuple(d * o for o in off), m)
-        fields, valid, overflow = _route_axis_pass(
-            fields, valid, overflow, cf, b, m, config, spill_eps, nbr, box=box
+    use_kernel = (
+        backend in ("pallas", "pallas_interpret")
+        and not (config.spill and spill_eps > 0.0)
+        and m >= 3
+    )
+    if use_kernel:
+        # Whole-pass Pallas kernel (pallas_rebin.py): masks/ranks computed
+        # once per z-plane, log-shift rounds fully in VMEM — same algorithm,
+        # bit-exact slot assignment (differential-tested).  Slot validity
+        # rides in-band: empty slots carry a NaN-pattern sentinel in their
+        # position components (the epilogue below restores the 0.0 fill).
+        from emdee_tpu.neighbors.pallas_rebin import (
+            SENTINEL_BITS,
+            rebin_routing_pallas,
         )
+
+        sent_f = jax.lax.bitcast_convert_type(
+            jnp.int32(SENTINEL_BITS), jnp.float32
+        )
+        for i in range(3):
+            fields[i] = jnp.where(valid, fields[i], sent_f)
+        out, ovf = rebin_routing_pallas(
+            tuple(fields), box, m, c, config.num_slots,
+            interpret=backend == "pallas_interpret",
+        )
+        fields = list(out)
+        overflow = overflow | ovf
+        valid = fields[nf - 1] < config.num_slots
+    else:
+        # Passes over the (z, y, x) cell grid axes; `off` is the +1 cell
+        # offset in `_roll_cells`'s (ox, oy, oz) convention, `cf` the
+        # position component (x=0, y=1, z=2) binned by this pass.
+        cell_ids = jnp.arange(nc, dtype=jnp.int32)
+        for axis, off, cf in ((0, (0, 0, 1), 2), (1, (0, 1, 0), 1), (2, (1, 0, 0), 0)):
+            # Cell's own coordinate along this axis (id = x + M·(y + M·z)).
+            b = {2: cell_ids % m, 1: (cell_ids // m) % m, 0: cell_ids // (m * m)}[axis]
+            nbr = lambda x, d, off=off: _roll_cells(x, tuple(d * o for o in off), m)
+            fields, valid, overflow = _route_axis_pass(
+                fields, valid, overflow, cf, b, m, config, spill_eps, nbr, box=box
+            )
 
     new_pos = jnp.stack(fields[0:3], axis=-1)
     new_pos = jnp.where(valid[..., None], new_pos, 0.0)
@@ -1087,19 +1117,33 @@ def make_cell_dense_sim(
     tables: slot↔atom binding only changes at rebins, so the remap is one
     small gather per rebin instead of a per-step atom-space round trip).
     """
-    if rebin == "shift":
+    backend = resolve_dense_backend(
+        config, backend, with_coulomb=coulomb is not None,
+        with_excl=aux_fn is not None,
+    )
+    if rebin in ("shift", "shift_xla", "shift_pallas", "shift_pallas_interpret"):
+        # The routing-pass backend follows the force backend: on real-TPU
+        # Pallas engines the whole-pass rebin kernel (pallas_rebin.py) runs
+        # the log-shift rounds in VMEM; elsewhere (and for spill configs,
+        # which the kernel refuses) the XLA rounds remain.  'shift_xla' /
+        # 'shift_pallas_interpret' force a specific path (tests, probes).
+        rebin_backend = {
+            "shift_xla": "xla",
+            "shift_pallas": "pallas",
+            "shift_pallas_interpret": "pallas_interpret",
+        }.get(rebin)
+        if rebin_backend is None:
+            rebin_backend = (
+                "pallas" if backend in ("pallas", "pallas_streaming") else "xla"
+            )
         rebin_fn = partial(
-            _rebin_shift, uniform_params=uniform_params, uniform_mass=uniform_mass
+            _rebin_shift, uniform_params=uniform_params,
+            uniform_mass=uniform_mass, backend=rebin_backend,
         )
     else:
         rebin_fn = _rebin
     dt_f = jnp.float32(dt)
     box = jnp.float32(config.box)
-
-    backend = resolve_dense_backend(
-        config, backend, with_coulomb=coulomb is not None,
-        with_excl=aux_fn is not None,
-    )
     if backend in ("pallas", "pallas_interpret", "pallas_streaming"):
         from emdee_tpu.neighbors.pallas_cell_kernel import (
             pallas_cell_forces,
