@@ -953,13 +953,22 @@ def _prep_streaming_inputs(
 def _make_streaming_kernel(
     config: CellDenseConfig, model_consts, compute_energy, interpret,
     uniform_params=None, coulomb=None, excl_e: int = 0, excl_cs: bool = False,
-    excl_eb: int = 0, dims=None,
+    excl_eb: int = 0, dims=None, wrap_reaction: bool = False,
 ):
     """dims=(mz, my, mx): interior cell-grid shape — cubic (M, M, M) on one
     chip, a shard's local block under shard_map.  One program per (z, y)
     pencil; the five half-shell ghost rows arrive as (1, 1, G·C) blocks of
     the ghost arrays themselves (five index maps per field — no materialized
-    views)."""
+    views).
+
+    wrap_reaction: single-chip full-box mode — the Newton reaction rows are
+    periodically folded IN the kernel (x-ghost lanes in-register; z/y via
+    wrapped output index maps in `streaming_halfshell_call`), so the caller
+    sums five already-interior-aligned (Mz·My, n_r, Mx·C) groups instead of
+    padding ghost grids.  The five full-ghost-grid `jnp.pad`+sum+fold chains
+    measured 1.8 ms of the 13.6 ms force step at 1M atoms (~13% — pure HBM
+    round trips).  Sharded callers keep the ghost layout: their out-of-shard
+    reaction rows ride the reverse halo ppermute and must NOT wrap locally."""
     c = config.capacity
     mz, my, mx = dims if dims is not None else (config.cells_per_dim,) * 3
     m = mx  # lane-axis cell count
@@ -1048,9 +1057,27 @@ def _make_streaming_kernel(
             combined = [sum(p[k] for p in parts) for k in range(len(parts[0]))]
             # Each program owns its row of every group output — plain
             # writes, no cross-program read-modify-write (HBM-safe).
-            ro[group_index[grp]][0] = jnp.concatenate(combined, axis=0)
+            row = jnp.concatenate(combined, axis=0)
+            if wrap_reaction:
+                # Periodic x-fold in-register: ghost lane block gx=0 lands on
+                # interior x=M-1, gx=G-1 on x=0 — the write shrinks to M·C
+                # lanes and the XLA-side x-fold disappears.
+                mid = row[:, c : c + mc]
+                row = jnp.concatenate(
+                    [
+                        mid[:, :c] + row[:, (g - 1) * c :],
+                        mid[:, c : (m - 1) * c],
+                        mid[:, (m - 1) * c :] + row[:, :c],
+                    ],
+                    axis=1,
+                )
+            ro[group_index[grp]][0] = row
 
         reduced = segsum(jnp.concatenate(list(acc[:n_fields]), axis=0))
+        # (An in-kernel reduced.T to hand the caller transpose-free center
+        # outputs was tried and measured NET NEGATIVE at 1M atoms: the
+        # per-program (n·C, M) Mosaic transpose cost ~0.4 ms/step, more than
+        # the XLA-side relayout it removed.)
         fx[0] = reduced[0:c]
         fy[0] = reduced[c : 2 * c]
         fz[0] = reduced[2 * c : 3 * c]
@@ -1074,6 +1101,7 @@ def streaming_halfshell_call(
     excl_e: int = 0,
     excl_cs: bool = False,
     excl_eb: int = 0,
+    wrap_reaction: bool = False,
 ):
     """Raw half-shell streaming pallas_call over the ghost fields.
 
@@ -1085,7 +1113,14 @@ def streaming_halfshell_call(
     no shifted row views are ever materialized.  Returns [fx, fy, fz, 5 ×
     reaction row groups (Mz·My, n_r, G·C) (+ e, w center outputs)]; the
     caller pads the groups back onto its ghost grid and folds (periodically
-    on one chip, via reverse halo ppermute across shards)."""
+    on one chip, via reverse halo ppermute across shards).
+
+    With wrap_reaction=True the reaction groups come back as (Mz·My, n_r,
+    Mx·C) INTERIOR-aligned arrays: each program's row is written at the
+    periodically wrapped (z+dz, y+dy) output row and its x-ghost lanes are
+    folded in-register, so the caller only sums the five groups — no pads,
+    no `_fold_ghosts`.  Single-chip full-box use only (a shard must keep its
+    un-wrapped ghost rows for the reverse halo exchange)."""
     mz, my, mx = dims
     c = config.capacity
     g = mx + 2
@@ -1106,6 +1141,7 @@ def streaming_halfshell_call(
         config, (rs2, invd2), compute_energy, interpret,
         uniform_params=uniform_params, coulomb=coulomb,
         excl_e=excl_e, excl_cs=excl_cs, excl_eb=excl_eb, dims=dims,
+        wrap_reaction=wrap_reaction,
     )
 
     def ghost_spec(dz, dy):
@@ -1123,14 +1159,34 @@ def streaming_halfshell_call(
         pl.BlockSpec((mc, mx), lambda i: (0, 0), memory_space=pltpu.VMEM),  # seg bf16
     ]
     out_center = pl.BlockSpec((1, c, mx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    out_react = pl.BlockSpec((1, n_r, gc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    if wrap_reaction:
+        # Program (z, y)'s group-(dz, dy) reaction row is written straight at
+        # the periodically wrapped interior row — the output arrays come back
+        # interior-aligned (and x-folded to M·C lanes by the kernel).
+        def react_spec(dz, dy):
+            def at(i, dz=dz, dy=dy):
+                z = jax.lax.rem(i // my + dz + mz, mz)
+                y = jax.lax.rem(i % my + dy + my, my)
+                return (z * my + y, 0, 0)
 
-    out_shapes = [jax.ShapeDtypeStruct((n_rows, c, mx), jnp.float32)] * 3
+            return pl.BlockSpec((1, n_r, mc), at, memory_space=pltpu.VMEM)
+
+        react_specs = [react_spec(dz, dy) for dz, dy in _HS_ROW_GROUPS]
+        react_shape = jax.ShapeDtypeStruct((n_rows, n_r, mc), jnp.float32)
+    else:
+        out_react = pl.BlockSpec(
+            (1, n_r, gc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        react_specs = [out_react] * 5
+        react_shape = jax.ShapeDtypeStruct((n_rows, n_r, gc), jnp.float32)
+
+    cen_shape = jax.ShapeDtypeStruct((n_rows, c, mx), jnp.float32)
+    out_shapes = [cen_shape] * 3
     out_specs = [out_center] * 3
-    out_shapes += [jax.ShapeDtypeStruct((n_rows, n_r, gc), jnp.float32)] * 5
-    out_specs += [out_react] * 5
+    out_shapes += [react_shape] * 5
+    out_specs += react_specs
     if compute_energy:
-        out_shapes += [jax.ShapeDtypeStruct((n_rows, c, mx), jnp.float32)] * 2
+        out_shapes += [cen_shape] * 2
         out_specs += [out_center] * 2
 
     call_kwargs = dict(
@@ -1198,24 +1254,18 @@ def pallas_cell_forces_streaming(
         uniform_params=uniform_params, coulomb=coulomb,
         excl_e=excl_e, excl_cs=excl_cs,
         excl_eb=0 if bond is None else int(bond[0].shape[-1]),
+        wrap_reaction=True,
     )
 
     def uncenter(a):  # (M², C, M) → (M³, C)
         return a.transpose(0, 2, 1).reshape(m**3, c)
 
-    react_groups = outs[3:8]
+    # wrap_reaction mode: the five groups arrive interior-aligned and
+    # x-folded — summing them IS the periodic reaction fold.
+    react_sum = sum(outs[3:8])
 
     def assemble(comp):
-        """Pad the five (M², G·C) reaction row groups back onto the (G², G·C)
-        ghost grid at their (dz, dy) offsets and fold ghosts periodically."""
-        full = sum(
-            jnp.pad(
-                react_groups[gi][:, comp, :].reshape(m, m, gc),
-                ((dz + 1, 1 - dz), (dy + 1, 1 - dy), (0, 0)),
-            )
-            for gi, (dz, dy) in enumerate(_HS_ROW_GROUPS)
-        )
-        return _fold_ghosts(full.reshape(g * g, gc), m, c)
+        return react_sum[:, comp, :].reshape(m**3, c)
 
     forces = jnp.stack(
         [uncenter(outs[0]) + assemble(0), uncenter(outs[1]) + assemble(1),
