@@ -206,27 +206,173 @@ def _without_absorbed_bonds(bonded, absorbed):
     )
 
 
+def _split_exclusive_terms(bonded, leftover_pairs, num_atoms):
+    """Partition a BondedSystem's terms into (exclusive, shared) systems.
+
+    A term is EXCLUSIVE when every one of its atoms appears in exactly one
+    force row across ALL slot-space scatter sources (every bonded family
+    plus the exclusion-leftover correction pairs).  Exclusive terms' scatter
+    rows have globally unique targets, so they can be applied with a
+    scatter-SET into zeros instead of a scatter-ADD — measured 5.5 vs 17
+    ns/row on v5e (tools/perf_gather.py), a 3× cut on the dominant cost of
+    the bonded path.  In water-dominated systems with in-kernel bond
+    absorption the H-O-H angles (≈96% of remaining scatter rows) are all
+    exclusive: each water atom's only remaining term is its one angle.
+
+    Atom-space multiplicity is invariant under the per-rebin atom→slot
+    remap (a bijection), so the split is computed once at build time.
+    Returns (exclusive_or_None, shared_or_None)."""
+    if bonded is None:
+        return None, None
+    counts = np.zeros(num_atoms + 1, np.int64)
+    per_table = {}
+    for name in ("bonds", "angles", "torsions", "impropers"):
+        t = getattr(bonded, name)
+        if t is None:
+            continue
+        atoms = np.asarray(t.atoms)
+        valid = np.asarray(t.valid)
+        rows = np.clip(atoms[valid].ravel(), 0, num_atoms)
+        np.add.at(counts, rows, 1)
+        per_table[name] = (atoms, valid)
+    if leftover_pairs is not None and len(leftover_pairs):
+        np.add.at(counts, np.clip(np.asarray(leftover_pairs).ravel(), 0, num_atoms), 1)
+    counts[num_atoms] = 2  # pad row: never exclusive
+
+    def take(t, keep):
+        # Sub-table with only `keep` of the VALID terms (padded to /8).
+        valid = np.asarray(t.valid)
+        sel = np.zeros(len(valid), bool)
+        sel[np.flatnonzero(valid)[keep]] = True
+        nkeep = int(sel.sum())
+        if nkeep == 0:
+            return None
+        cap = -(-nkeep // 8) * 8
+        out = {}
+        for field, arr in t._asdict().items():
+            if field == "valid":
+                out[field] = jnp.asarray(np.arange(cap) < nkeep)
+                continue
+            a = np.asarray(arr)[sel]
+            pad_val = num_atoms if field == "atoms" else 0
+            pad = np.full((cap - nkeep,) + a.shape[1:], pad_val, a.dtype)
+            out[field] = jnp.asarray(np.concatenate([a, pad]))
+        return type(t)(**out)
+
+    excl_kw, shared_kw = {}, {}
+    any_excl = False
+    for name in ("bonds", "angles", "torsions", "impropers"):
+        if name not in per_table:
+            excl_kw[name] = shared_kw[name] = None
+            continue
+        atoms, valid = per_table[name]
+        va = np.clip(atoms[valid], 0, num_atoms)
+        is_excl = (counts[va] == 1).all(axis=1)
+        excl_kw[name] = take(getattr(bonded, name), is_excl)
+        shared_kw[name] = take(getattr(bonded, name), ~is_excl)
+        any_excl = any_excl or excl_kw[name] is not None
+    if not any_excl:
+        return None, bonded
+    excl = bonded._replace(**excl_kw)
+    shared = bonded._replace(**shared_kw)
+    if all(getattr(shared, f) is None for f in ("bonds", "angles", "torsions", "impropers")):
+        shared = None
+    return excl, shared
+
+
+def _merged_slot_binder(excl_sys, shared_sys, corr_pairs, num_atoms):
+    """ONE flat atom→slot gather for every per-rebin table rebinding.
+
+    `BondedSystem.remap` per table plus the correction `bind` were each a
+    separate scalar-row gather of the atom→slot map; XLA's per-gather fixed
+    cost dominates the small tables (the same effect as the per-scatter cost
+    `force_rows` documents).  All atom-index arrays are concatenated once at
+    build time, so the per-rebin binding is one gather split back into the
+    table shapes.  Returns bind(atom_slot) → (bx, bs, corr_slot_ij), any of
+    which is None when absent; returns None if there is nothing to bind."""
+    chunks = []
+    plan = {}
+
+    def add(arr):
+        a = np.minimum(np.asarray(arr, np.int64).ravel(), num_atoms)
+        start = sum(c.size for c in chunks)
+        chunks.append(a)
+        return (start, start + a.size)
+
+    for label, sys_ in (("bx", excl_sys), ("bs", shared_sys)):
+        if sys_ is None:
+            continue
+        tplan = {}
+        for name in ("bonds", "angles", "torsions", "impropers"):
+            t = getattr(sys_, name)
+            if t is None:
+                continue
+            tplan[name] = (add(t.atoms), tuple(t.atoms.shape))
+        if tplan:
+            plan[label] = tplan
+    corr_span = None
+    if corr_pairs is not None and len(np.asarray(corr_pairs)):
+        corr_span = (add(corr_pairs), tuple(np.asarray(corr_pairs).shape))
+    if not chunks:
+        return None
+    flat = jnp.asarray(np.concatenate(chunks), jnp.int32)
+
+    def bind(atom_slot):
+        mapped = atom_slot[flat]
+
+        def cut(span_shape):
+            (a, b), shape = span_shape
+            return mapped[a:b].reshape(shape)
+
+        def rebind(sys_, tplan):
+            return sys_._replace(**{
+                name: getattr(sys_, name)._replace(atoms=cut(s))
+                for name, s in tplan.items()
+            })
+
+        bx = rebind(excl_sys, plan["bx"]) if "bx" in plan else None
+        bs = rebind(shared_sys, plan["bs"]) if "bs" in plan else None
+        cb = cut(corr_span) if corr_span is not None else None
+        return bx, bs, cb
+
+    return bind
+
+
 def make_exclusion_aux_fn(num_atoms, ids_tab, mlj_tab, mcs_tab, bond_tabs=None):
     """aux_fn(state) → slot-space (ids, mlj, mcs[, (kb, kr0, kr02)]) tags.
 
-    One (M³·C)-row gather from the static atom-indexed tables, re-run after
-    every rebin (slot↔atom binding only changes there) — amortized over the
-    rebin interval instead of a per-step atom-space round trip.
+    ONE (M³·C)-row gather from a single column-packed atom-indexed table,
+    re-run after every rebin (slot↔atom binding only changes there) —
+    amortized over the rebin interval instead of a per-step atom-space round
+    trip.  All tables ride one gather because TPU row-gather cost is
+    row-count-bound, not width-bound (tools/perf_gather.py: w3 ≈ w8 ≈ 6.5
+    ns/row): six separate (N+1, E) gathers paid the full per-row cost six
+    times — measured as the dominant slice of the molecular rebin boundary.
 
     bond_tabs: optional (kb, kr0, kr02) harmonic-bond weight tables aligned
-    with the tag slots (see `build_exclusion_tables(bonds=...)`) — gathered
+    with the tag slots (see `build_exclusion_tables(bonds=...)`) — packed
     alongside and appended as a 4th aux element for the Pallas kernels'
     in-kernel bond evaluation."""
+    cols = [ids_tab, mlj_tab]
+    if mcs_tab is not None:
+        cols.append(mcs_tab)
+    if bond_tabs is not None:
+        cols.extend(bond_tabs)
+    offs = np.cumsum([0] + [int(t.shape[-1]) for t in cols])
+    packed = jnp.concatenate(cols, axis=-1)
 
     def aux_fn(state: CellDenseState):
         idx = jnp.minimum(state.atom_id, num_atoms)  # sentinel → pad row
+        g = packed[idx]
+        parts = [g[..., offs[i] : offs[i + 1]] for i in range(len(cols))]
+        it = iter(parts)
         out = (
-            ids_tab[idx],
-            mlj_tab[idx],
-            None if mcs_tab is None else mcs_tab[idx],
+            next(it),
+            next(it),
+            next(it) if mcs_tab is not None else None,
         )
         if bond_tabs is not None:
-            out += ((bond_tabs[0][idx], bond_tabs[1][idx], bond_tabs[2][idx]),)
+            out += ((next(it), next(it), next(it)),)
         return out
 
     return aux_fn
@@ -439,6 +585,19 @@ def make_molecular_dense_sim(
                 num_atoms, *leftover, model, params, coulomb, q_at,
             )
 
+        # Exclusive-term split: terms whose atoms appear in no other scatter
+        # row anywhere get the unique-target scatter-SET fast path (3× the
+        # scatter-add row rate; in absorbed-bond water systems that is the
+        # whole H-O-H angle table — ~96% of remaining rows).
+        excl_force_sys, shared_force_sys = _split_exclusive_terms(
+            bonded_force_sys
+            if bonded_force_sys is not None
+            and any(t is not None for t in bonded_force_sys)
+            else None,
+            leftover[0] if leftover is not None else None,
+            num_atoms,
+        )
+
         extra_forces = extra_energy = extra_aux_fn = None
         if bonded is not None or corr is not None:
             # Slot-space bonded terms: the per-term atom indices are remapped
@@ -457,23 +616,29 @@ def make_molecular_dense_sim(
                     .set(jnp.arange(ns, dtype=jnp.int32))
                 )
 
+            binder = _merged_slot_binder(
+                excl_force_sys,
+                shared_force_sys
+                if shared_force_sys is not None
+                and any(t is not None for t in shared_force_sys)
+                else None,
+                leftover[0] if corr is not None else None,
+                num_atoms,
+            )
+
             def extra_aux_fn(state):
                 atom_slot = _atom_slot(state)
                 # Invalid slots all target the pad row; whatever index lands
                 # there only feeds `valid=False` terms, whose energy (and
                 # therefore gradient) is select-masked to zero.  The FORCE
-                # path remaps `bonded_force_sys` — with in-kernel bond
-                # absorption its bond table holds only the not-absorbed
-                # remainder (often none at all).
-                btabs = None
-                if bonded_force_sys is not None and any(
-                    t is not None for t in bonded_force_sys
-                ):
-                    btabs = bonded_force_sys.remap(atom_slot)
-                return (
-                    btabs,
-                    corr[0](atom_slot) if corr is not None else None,
-                )
+                # path rebinds the exclusive/shared split of the force system
+                # and the correction pairs through ONE merged gather — with
+                # in-kernel bond absorption the bond table holds only the
+                # not-absorbed remainder (often none at all).
+                if binder is None:
+                    return ((None, None), None)
+                bx, bs, cbind = binder(atom_slot)
+                return ((bx, bs), cbind)
 
             def _pos_ext(state):
                 return jnp.concatenate(
@@ -484,28 +649,37 @@ def make_molecular_dense_sim(
             def extra_forces(state, eaux):
                 from emdee_tpu.potentials.bonded import bonded_force_rows
 
-                btabs, cbind = eaux
+                (bx, bs), cbind = eaux
                 pos = _pos_ext(state)
                 b = _state_box(state, config)
                 # Hand gradients (one gather/scatter set vs autodiff's forward
-                # + recomputed backward), and ONE merged scatter-add across
-                # every term family AND the leftover correction — per-scatter
-                # fixed cost dominates the small tables (the 4.5k-pair
-                # correction alone measured 1.31 ms as its own scatter).
+                # + recomputed backward); exclusive terms (globally unique
+                # scatter targets — see `_split_exclusive_terms`) go through
+                # ONE scatter-set, everything else through ONE merged
+                # scatter-add (per-scatter fixed cost dominates the small
+                # tables: the 4.5k-pair correction alone measured 1.31 ms as
+                # its own scatter).  The two row sets are disjoint except the
+                # pad row, where every contribution is exactly zero.
+                f = jnp.zeros_like(pos)
+                if bx is not None:
+                    idx, contrib = bonded_force_rows(pos, b, bx)
+                    f = f.at[idx].set(contrib)
                 idxs, contribs = [], []
-                if btabs is not None:
-                    idx, contrib = bonded_force_rows(pos, b, btabs)
+                if bs is not None:
+                    idx, contrib = bonded_force_rows(pos, b, bs)
                     idxs.append(idx)
                     contribs.append(contrib)
                 if cbind is not None:
                     idx, contrib = corr[1].rows(pos, cbind, b)
                     idxs.append(idx)
                     contribs.append(contrib)
-                if not idxs:  # every bond absorbed in-kernel, nothing else
+                if bx is None and not idxs:
+                    # every bond absorbed in-kernel, nothing else
                     return jnp.zeros_like(state.positions)
-                f = jnp.zeros_like(pos).at[jnp.concatenate(idxs)].add(
-                    jnp.concatenate(contribs)
-                )
+                if idxs:
+                    f = f.at[jnp.concatenate(idxs)].add(
+                        jnp.concatenate(contribs)
+                    )
                 return f[:-1].reshape(state.positions.shape)
 
             def extra_energy(state, eaux):
