@@ -262,6 +262,13 @@ def make_grid_sharded_sim(
     excl_e = 0 if not has_excl else int(excl_tables[0].shape[-1])
     excl_cs = has_excl and excl_tables[2] is not None
     n_tab = None if not has_excl else int(excl_tables[0].shape[0]) - 1
+    if has_excl:
+        # Column-pack the tag tables so the per-rebin rebuild is ONE
+        # row gather (TPU gather cost is row-count-bound, not width-bound —
+        # same packing as make_exclusion_aux_fn on the single-chip engine).
+        excl_packed = jnp.concatenate(
+            [t for t in excl_tables if t is not None], axis=-1
+        )
 
     # ---- extended-grid bonded / leftover-exclusion terms ----
     has_bonded = bonded is not None and any(t is not None for t in bonded)
@@ -899,10 +906,10 @@ def make_grid_sharded_sim(
         if not has_excl:
             return None
         idx = jnp.minimum(aid, n_tab)
-        ids_tab, mlj_tab, mcs_tab = excl_tables
+        g = excl_packed[idx]
         return (
-            ids_tab[idx], mlj_tab[idx],
-            None if mcs_tab is None else mcs_tab[idx],
+            g[..., :excl_e], g[..., excl_e : 2 * excl_e],
+            g[..., 2 * excl_e : 3 * excl_e] if excl_cs else None,
         )
 
     if backend in ("pallas", "pallas_interpret", "pallas_streaming", "pallas_streaming_interpret"):

@@ -60,8 +60,15 @@ def bench_mol(reps=4, steps=120, rebin_every=6):
     rng = np.random.default_rng(5)
     vel = rng.normal(scale=0.05, size=(n, 3))
 
+    # skin=1.0 + spill: cell side 8.19 Å holds rc+skin with the 0.15 Å spill
+    # margin to spare, and boundary-spill balancing drops capacity from
+    # mean+2.5σ (80) to 64 — pair work scales as capacity², and the VMEM
+    # estimate falls under the resident-kernel threshold (measured
+    # 10.0 → 6.3 ms/step on v5e; overflow flag stays clear, see
+    # tests/test_cell_dense_molecular.py::test_molecular_dense_spill_...).
     state, rollout, energy, config = dense_sim_from_system(
         system, cutoff=7.0, switch=6.0, dt=5e-4, skin=1.0, velocities=vel,
+        spill=True,
     )
     assert not bool(state.overflow), "init overflow"
     from emdee_tpu.neighbors.cell_dense_molecular import build_exclusion_tables
