@@ -146,6 +146,16 @@ def suggest_cell_dense_config(
     spill: bool = False,
     spill_margin: float = 0.15,
 ) -> CellDenseConfig:
+    """Derive a dense-cell config (cells/dim, slot capacity) from geometry.
+
+    Note on `spill=True`: boundary-spill balancing trades slot capacity
+    (mean+0.5σ instead of mean+2.5σ → pair work ∝ capacity² drops ~2×) for
+    a rebin that must route spilled atoms bidirectionally — which the
+    whole-pass Pallas rebin kernel does not implement, so spill configs run
+    the rebin as XLA routing rounds (`_rebin` gates on `not config.spill`).
+    That is ~0.45 ms amortized at the 97k molecular config (docs/PERF.md,
+    "Molecular rebin and the Pallas-kernel exclusion") — fine at rebin
+    cadence 6, a perf cliff if the cadence tightens."""
     m = int(np.floor(box / (cutoff + skin + (spill_margin if spill else 0.0))))
     if m < 3:
         raise ValueError(
@@ -534,6 +544,72 @@ def _route_axis_pass(fields, valid, overflow, cf, b, m, config, spill_eps, nbr, 
     return fields, valid, overflow
 
 
+def _rebin_shift_core(fields, valid, overflow, config: CellDenseConfig, box, backend: str):
+    """Field-list heart of the shift rebin: three ±1-cell routing passes.
+
+    fields: list of (M³, C) arrays — positions x, y, z FIRST (wrapped into
+    [0, L) here), atom_id (int32) LAST.  Returns (fields, valid, overflow);
+    junk lanes (where the new valid is False) hold stale transport values —
+    callers must mask them (the stacked `_rebin_shift` wrapper does; the
+    component-carry rollout zeroes per block).  Shared by the stacked-state
+    wrapper below and the component-layout scan carry (docs/PERF.md r5)."""
+    m, c = config.cells_per_dim, config.capacity
+    nc = m**3
+    nf = len(fields)
+
+    # Wrap positions into [0, L) here (and only here): between rebins the
+    # integrator leaves them unwrapped so the kernel's raw ghost-shifted
+    # differences stay valid.
+    for i in range(3):
+        fields[i] = jnp.where(
+            valid, fields[i] - jnp.floor(fields[i] / box) * box, 0.0
+        )
+
+    spill_eps = float(config.cell_side) - float(config.cutoff) - float(config.skin)
+    use_kernel = (
+        backend in ("pallas", "pallas_interpret")
+        and not (config.spill and spill_eps > 0.0)
+        and m >= 3
+    )
+    if use_kernel:
+        # Whole-pass Pallas kernel (pallas_rebin.py): masks/ranks computed
+        # once per z-plane, log-shift rounds fully in VMEM — same algorithm,
+        # bit-exact slot assignment (differential-tested).  Slot validity
+        # rides in-band: empty slots carry a NaN-pattern sentinel in their
+        # position components (callers restore the 0.0 fill via the valid
+        # mask).
+        from emdee_tpu.neighbors.pallas_rebin import (
+            SENTINEL_BITS,
+            rebin_routing_pallas,
+        )
+
+        sent_f = jax.lax.bitcast_convert_type(
+            jnp.int32(SENTINEL_BITS), jnp.float32
+        )
+        for i in range(3):
+            fields[i] = jnp.where(valid, fields[i], sent_f)
+        out, ovf = rebin_routing_pallas(
+            tuple(fields), box, m, c, config.num_slots,
+            interpret=backend == "pallas_interpret",
+        )
+        fields = list(out)
+        overflow = overflow | ovf
+        valid = fields[nf - 1] < config.num_slots
+    else:
+        # Passes over the (z, y, x) cell grid axes; `off` is the +1 cell
+        # offset in `_roll_cells`'s (ox, oy, oz) convention, `cf` the
+        # position component (x=0, y=1, z=2) binned by this pass.
+        cell_ids = jnp.arange(nc, dtype=jnp.int32)
+        for axis, off, cf in ((0, (0, 0, 1), 2), (1, (0, 1, 0), 1), (2, (1, 0, 0), 0)):
+            # Cell's own coordinate along this axis (id = x + M·(y + M·z)).
+            b = {2: cell_ids % m, 1: (cell_ids // m) % m, 0: cell_ids // (m * m)}[axis]
+            nbr = lambda x, d, off=off: _roll_cells(x, tuple(d * o for o in off), m)
+            fields, valid, overflow = _route_axis_pass(
+                fields, valid, overflow, cf, b, m, config, spill_eps, nbr, box=box
+            )
+    return fields, valid, overflow
+
+
 def _rebin_shift(
     state: CellDenseState,
     config: CellDenseConfig,
@@ -571,22 +647,15 @@ def _rebin_shift(
     slots); slot order within a cell is identical to the sort-based rebin
     (both are stable by candidate order).
     """
-    m, c = config.cells_per_dim, config.capacity
-    nc = m**3
-    k = 3 * c
     box = _state_box(state, config)
     valid = state.valid
-
-    # Wrap positions into [0, L) here (and only here), like `_rebin`.
-    pos = state.positions
-    pos = jnp.where(valid[..., None], pos - jnp.floor(pos / box) * box, 0.0)
 
     # Scalar transported fields, each (nc, C) so lane rolls stay on the
     # minor axis.  atom_id rides as int32 (selects are type-agnostic).
     # Uniform per-atom constants (LJ params, mass) are NOT routed — they are
     # reconstructed from the new valid mask afterwards, cutting the
     # compaction's dominant roll+select traffic by up to 3 of 13 fields.
-    fields = [pos[..., 0], pos[..., 1], pos[..., 2]]
+    fields = [state.positions[..., i] for i in range(3)]
     fields += [state.velocities[..., i] for i in range(3)]
     im_col = hs_col = None
     if uniform_mass is None:
@@ -605,49 +674,9 @@ def _rebin_shift(
     fields.append(state.atom_id)
     nf = len(fields)
 
-    overflow = state.overflow
-    spill_eps = float(config.cell_side) - float(config.cutoff) - float(config.skin)
-
-    use_kernel = (
-        backend in ("pallas", "pallas_interpret")
-        and not (config.spill and spill_eps > 0.0)
-        and m >= 3
+    fields, valid, overflow = _rebin_shift_core(
+        fields, valid, state.overflow, config, box, backend
     )
-    if use_kernel:
-        # Whole-pass Pallas kernel (pallas_rebin.py): masks/ranks computed
-        # once per z-plane, log-shift rounds fully in VMEM — same algorithm,
-        # bit-exact slot assignment (differential-tested).  Slot validity
-        # rides in-band: empty slots carry a NaN-pattern sentinel in their
-        # position components (the epilogue below restores the 0.0 fill).
-        from emdee_tpu.neighbors.pallas_rebin import (
-            SENTINEL_BITS,
-            rebin_routing_pallas,
-        )
-
-        sent_f = jax.lax.bitcast_convert_type(
-            jnp.int32(SENTINEL_BITS), jnp.float32
-        )
-        for i in range(3):
-            fields[i] = jnp.where(valid, fields[i], sent_f)
-        out, ovf = rebin_routing_pallas(
-            tuple(fields), box, m, c, config.num_slots,
-            interpret=backend == "pallas_interpret",
-        )
-        fields = list(out)
-        overflow = overflow | ovf
-        valid = fields[nf - 1] < config.num_slots
-    else:
-        # Passes over the (z, y, x) cell grid axes; `off` is the +1 cell
-        # offset in `_roll_cells`'s (ox, oy, oz) convention, `cf` the
-        # position component (x=0, y=1, z=2) binned by this pass.
-        cell_ids = jnp.arange(nc, dtype=jnp.int32)
-        for axis, off, cf in ((0, (0, 0, 1), 2), (1, (0, 1, 0), 1), (2, (1, 0, 0), 0)):
-            # Cell's own coordinate along this axis (id = x + M·(y + M·z)).
-            b = {2: cell_ids % m, 1: (cell_ids // m) % m, 0: cell_ids // (m * m)}[axis]
-            nbr = lambda x, d, off=off: _roll_cells(x, tuple(d * o for o in off), m)
-            fields, valid, overflow = _route_axis_pass(
-                fields, valid, overflow, cf, b, m, config, spill_eps, nbr, box=box
-            )
 
     new_pos = jnp.stack(fields[0:3], axis=-1)
     new_pos = jnp.where(valid[..., None], new_pos, 0.0)
@@ -1075,6 +1104,7 @@ def make_cell_dense_sim(
     extra_aux_fn=None,
     thermostat=None,
     barostat=None,
+    component_carry: bool = True,
 ):
     """Build (rollout, energy) closures for slot-space NVE/NVT.
 
@@ -1225,6 +1255,48 @@ def make_cell_dense_sim(
         raise ValueError("barostat + boundary-spill capacity mode is unsupported")
     ndof = 3.0 * config.num_atoms - 3.0  # VV conserves the (zeroed) COM momentum
 
+    # Component-layout scan carry (pure uniform-LJ NVE on a Pallas backend):
+    # the r4 device trace put 9.4% of the step in XLA layout churn around the
+    # (M³, C, 3) carry arrays — carrying per-component (M³, C) arrays feeds
+    # the kernel operands without a single (…, 3) stack/unstack inside the
+    # scan.  Same physics, op for op per component — the kernel and rebin
+    # transport are bit-identical; the integrator chains agree up to XLA's
+    # per-graph fma association (measured ≤2 ulp/step, energies to ~1e-7
+    # relative over 200 steps).  `component_carry=False` forces the stacked
+    # path for differential tests.
+    use_component_carry = (
+        component_carry
+        and thermostat is None
+        and barostat is None
+        and uniform_params is not None
+        and uniform_mass is not None
+        and coulomb is None
+        and aux_fn is None
+        and extra_forces is None
+        and extra_aux_fn is None
+        and backend in ("pallas", "pallas_interpret", "pallas_streaming")
+        and rebin in ("shift", "shift_xla", "shift_pallas", "shift_pallas_interpret")
+    )
+    forces_split = None
+    if use_component_carry:
+        from emdee_tpu.neighbors.pallas_cell_kernel import (
+            pallas_cell_forces_split,
+            pallas_cell_forces_streaming_split,
+        )
+
+        _interp = backend == "pallas_interpret"
+        _split_kernel = (
+            pallas_cell_forces_streaming_split
+            if backend == "pallas_streaming"
+            else pallas_cell_forces_split
+        )
+
+        def forces_split(px, py, pz, valid, box):
+            return _split_kernel(
+                px, py, pz, valid, config,
+                uniform_params=uniform_params, interpret=_interp, box=box,
+            )
+
     def make_one_step(aux, eaux):
         def one_step(carry, _):
             # NO PBC wrap here: the Pallas kernel computes raw (ghost-shifted)
@@ -1353,6 +1425,102 @@ def make_cell_dense_sim(
             rng = jax.random.PRNGKey(0)  # unused by the NVE step
         if barostat is not None and state.box is None:
             state = state._replace(box=jnp.float32(config.box))
+
+        if use_component_carry and not record and num_steps:
+            # Leapfrog NVE on the COMPONENT carry: the scan state is seven
+            # (M³, C) arrays (x, y, z, vx, vy, vz, atom_id) + three rebin-ref
+            # coordinate arrays + flags — never a (…, 3) tensor, so the
+            # kernel-operand layout survives the whole scan (docs/PERF.md r5:
+            # kills the trace-measured 9.4% layout-churn glue).  Physics is
+            # the leapfrog path below, op for op, per component (agreement
+            # up to XLA's per-graph fma association — see the differential
+            # test in tests/test_cell_dense.py).
+            ns = config.num_slots
+            sbox = _state_box(state, config)
+            kick_dt = dt_f * jnp.float32(1.0 / uniform_mass)
+            half_dt = 0.5 * dt_f * jnp.float32(1.0 / uniform_mass)
+            px, py, pz = (state.positions[..., i] for i in range(3))
+            vx, vy, vz = (state.velocities[..., i] for i in range(3))
+            aid = jnp.where(state.valid, state.atom_id, ns)
+            ovf = state.overflow
+            f0 = forces_split(px, py, pz, state.valid, sbox)
+            vx = vx + half_dt * f0[0]
+            vy = vy + half_dt * f0[1]
+            vz = vz + half_dt * f0[2]
+
+            def lfc_block(length):
+                def block(carry, _):
+                    px, py, pz, vx, vy, vz, aid, _rx, _ry, _rz, ovf = carry
+                    fields, valid, ovf = _rebin_shift_core(
+                        [px, py, pz, vx, vy, vz, aid],
+                        aid < ns, ovf, config, sbox, rebin_backend,
+                    )
+                    px, py, pz, vx, vy, vz, aid = fields
+                    # Junk lanes hold stale transport values (NaN-pattern
+                    # sentinels in positions on the kernel path) — restore
+                    # the engine contract: invalid ⇒ pos/vel 0, id = ns.
+                    zero = lambda a: jnp.where(valid, a, 0.0)
+                    px, py, pz = zero(px), zero(py), zero(pz)
+                    vx, vy, vz = zero(vx), zero(vy), zero(vz)
+                    aid = jnp.where(valid, aid, ns)
+                    rx, ry, rz = px, py, pz  # rebin-time staleness refs
+
+                    def lf_step(s, _):
+                        px, py, pz, vx, vy, vz = s
+                        # Invalid slots: v = 0 ⇒ drift is a no-op; sentinel
+                        # masking in the kernel keeps their forces exactly 0.
+                        px = px + dt_f * vx
+                        py = py + dt_f * vy
+                        pz = pz + dt_f * vz
+                        fx, fy, fz = forces_split(px, py, pz, valid, sbox)
+                        return (
+                            px, py, pz,
+                            vx + kick_dt * fx, vy + kick_dt * fy, vz + kick_dt * fz,
+                        ), None
+
+                    (px, py, pz, vx, vy, vz), _ = jax.lax.scan(
+                        lf_step, (px, py, pz, vx, vy, vz), None, length=length
+                    )
+                    dx = px - rx
+                    dy = py - ry
+                    dz = pz - rz
+                    dx = dx - jnp.round(dx / sbox) * sbox
+                    dy = dy - jnp.round(dy / sbox) * sbox
+                    dz = dz - jnp.round(dz / sbox) * sbox
+                    d2 = jnp.where(valid, dx * dx + dy * dy + dz * dz, 0.0)
+                    ovf = ovf | (jnp.max(d2) > (0.5 * config.skin) ** 2)
+                    return (px, py, pz, vx, vy, vz, aid, rx, ry, rz, ovf), None
+
+                return block
+
+            carry = (px, py, pz, vx, vy, vz, aid, px, py, pz, ovf)
+            if blocks:
+                carry, _ = jax.lax.scan(
+                    lfc_block(rebin_every), carry, None, length=blocks
+                )
+            if rem:
+                carry, _ = lfc_block(rem)(carry, None)
+            px, py, pz, vx, vy, vz, aid, rx, ry, rz, ovf = carry
+            valid_f = aid < ns
+            fF = forces_split(px, py, pz, valid_f, sbox)
+            vx = vx - half_dt * fF[0]
+            vy = vy - half_dt * fF[1]
+            vz = vz - half_dt * fF[2]
+            cval = lambda v: jnp.where(valid_f, jnp.float32(v), 0.0)
+            return CellDenseState(
+                positions=jnp.stack([px, py, pz], axis=-1),
+                velocities=jnp.stack([vx, vy, vz], axis=-1),
+                inv_masses=cval(1.0 / uniform_mass),
+                half_sigma=cval(uniform_params[0]),
+                twice_sqrt_eps=cval(uniform_params[1]),
+                atom_id=aid,
+                valid=valid_f,
+                ref_positions=jnp.stack([rx, ry, rz], axis=-1),
+                step=state.step + num_steps,
+                overflow=ovf,
+                charges=None,
+                box=state.box,
+            )
 
         if thermostat is None and barostat is None and not record and num_steps:
             # Leapfrog-structured NVE: velocities ride a half step offset

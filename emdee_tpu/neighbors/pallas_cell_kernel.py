@@ -82,10 +82,12 @@ def _recip_newton_steps() -> int:
     generation with a coarser seed would silently reintroduce NVE energy
     drift (~1%/1500 steps was observed with insufficient reciprocal
     accuracy), so unknown generations get two steps (+~3% kernel time).
-    Override with EMDEE_RECIP_NEWTON=1|2."""
+    Override with EMDEE_RECIP_NEWTON=1|2 — honored only under EMDEE_DEBUG=1
+    (it changes numerics; a stray value in a user environment on an
+    unmeasured TPU generation must not silently reintroduce drift)."""
     import os
 
-    env = os.environ.get("EMDEE_RECIP_NEWTON")
+    env = _debug_env("EMDEE_RECIP_NEWTON")
     if env:
         return max(1, int(env))
     gen = os.environ.get("PALLAS_AXON_TPU_GEN", "")
@@ -121,8 +123,8 @@ def _recip(x, interpret: bool, steps: int):
     return r
 
 
-def _sentinel_positions(state: CellDenseState, config: CellDenseConfig):
-    """Replace empty-slot positions with far-away coordinates, pairwise ≥ 7
+def _sentinel_far(config: CellDenseConfig) -> jax.Array:
+    """(M³, C) far-away sentinel coordinates for empty slots, pairwise ≥ 7
     apart for any two slots the kernel can ever pair, so the switching clamp
     zeroes their interactions exactly (no NaN, no masks).
 
@@ -138,9 +140,13 @@ def _sentinel_positions(state: CellDenseState, config: CellDenseConfig):
     gz, gy, gx = cell // (m * m), (cell // m) % m, cell % m
     hood = ((gz & 3) * 16 + (gy & 3) * 4 + (gx & 3)).astype(jnp.float32)
     slot = jnp.arange(c, dtype=jnp.float32)
-    far = (_FAR + 7.0 * (hood[:, None] * c + slot[None, :])).reshape(
-        state.valid.shape
-    )
+    return _FAR + 7.0 * (hood[:, None] * c + slot[None, :])
+
+
+def _sentinel_positions(state: CellDenseState, config: CellDenseConfig):
+    """Replace empty-slot positions with the `_sentinel_far` coordinates
+    (same value for all three components)."""
+    far = _sentinel_far(config).reshape(state.valid.shape)
     pos = jnp.where(state.valid[..., None], state.positions, far[..., None])
     return pos
 
@@ -185,6 +191,20 @@ def _const_tiles(m: int, c: int):
         jnp.asarray(expand),
         jnp.asarray(seg, jnp.bfloat16),
     )
+
+
+def _strag_const_tiles(m: int, kn: int):
+    """Constant operand tiles for the straggler pass: the (M, M·Kn) center
+    expansion (lane (cx, k) ← cell cx) and the (M·Kn, M) bf16 segment
+    reduction back to per-cell center forces."""
+    mkn = m * kn
+    expand_kn = (
+        np.arange(m)[:, None] == (np.arange(mkn)[None, :] // kn)
+    ).astype(np.float32)
+    seg_kn = (
+        (np.arange(mkn)[:, None] // kn) == np.arange(m)[None, :]
+    ).astype(np.float32)
+    return (jnp.asarray(expand_kn), jnp.asarray(seg_kn, jnp.bfloat16))
 
 
 def _prep_inputs(
@@ -540,6 +560,7 @@ def _make_kernel(
     excl_cs: bool = False,
     excl_eb: int = 0,
     rows_per_program: int = 1,
+    strag_kn: int = 0,
 ):
     """dims=(mz, my, mx): interior cell-grid shape this kernel instance runs
     over — cubic (M, M, M) on one chip, a shard's local block under
@@ -548,7 +569,23 @@ def _make_kernel(
     rows_per_program: (z, y) pencils per grid program — amortizes the fixed
     per-program cost (prologue, DMA waits, MXU dispatch latency) and batches
     the center-expansion and segment-reduction matmuls across pencils; the
-    last program's overhang sub-pencils are guarded out."""
+    last program's overhang sub-pencils are guarded out.
+
+    strag_kn > 0 enables the C-tight straggler pass (uniform-params,
+    no-coulomb, no-exclusion, force-only; cell_dense_straggler.py): each
+    pencil row additionally pairs its center atoms against up to Kn
+    "straggler" atoms — occupancy-tail atoms parked OUTSIDE the slot grid in
+    a tiny auxiliary buffer so the grid capacity can sit at the occupancy
+    MEAN (pair work ∝ C²) instead of covering the 2.5σ tail.  The straggler
+    list of row (z, y) holds every aux atom parked in the row's 9-hood
+    (z±1, y±1); the tile covers all M x-cells, so x needs no precision and
+    the r² cutoff trims.  Straggler coordinates arrive as dense (rows, 1,
+    Kn) per-row lists (empty lanes masked via `smask`, NOT sentinels —
+    this tile min-images raw deltas, which would wrap a far sentinel back
+    into the box); center-slot validity rides an extra 0/1 center field for
+    the same reason.  Newton-3: the straggler side of each pair leaves as a
+    per-program (3, M·Kn) reaction-row output (one write, no cross-program
+    RMW), folded to per-aux forces by the caller."""
     rpp = rows_per_program
     c = config.capacity
     mz, my, mx = dims if dims is not None else (config.cells_per_dim,) * 3
@@ -565,17 +602,37 @@ def _make_kernel(
     rs2, invd2 = model_consts
     n_newton = _newton_steps()
     uniform = uniform_params is not None
+    if strag_kn:
+        if not uniform or coulomb is not None or excl_e or compute_energy:
+            raise NotImplementedError(
+                "straggler pass: uniform-params force-only kernels "
+                "(energies/virials go through the XLA wide-state path)"
+            )
+        if mz < 3 or my < 3:
+            raise ValueError("straggler pass needs ≥3 cells per sharded axis")
+    mkn = m * strag_kn
+    if strag_kn:
+        s_box = float(config.box)
+        s_invbox = 1.0 / s_box
+        s_hs_u, s_tse_u = uniform_params
+        s_sig2 = float((2.0 * s_hs_u) ** 2)
+        s_eps4 = float(s_tse_u * s_tse_u)
+        s_am = 60.0 * invd2 * rs2
 
     def kernel(*refs):
         # Input order: coords [+ params] [+ charges] [+ atom ids] + centers
-        # + const tiles.
+        # + const tiles [+ straggler tiles: expand_kn, seg_kn, x, y, z, mask].
         n_ghost = (
             3 + (0 if uniform else 2) + (0 if coulomb is None else 1)
             + (1 if excl_e else 0)
         )
         ghosts = refs[:n_ghost]
         centers, is_self, expand, seg_bf16 = refs[n_ghost : n_ghost + 4]
-        outs = refs[n_ghost + 4 :]
+        n_in = n_ghost + 4
+        if strag_kn:
+            expand_kn, seg_kn_bf16, sgx, sgy, sgz, smask = refs[n_in : n_in + 6]
+            n_in += 6
+        outs = refs[n_in:]
         gx, gy, gz = ghosts[:3]
         if not uniform:
             ghs, gtse = ghosts[3:5]
@@ -586,6 +643,7 @@ def _make_kernel(
         (fx, fy, fz, react) = outs[:4]
         if compute_energy:
             (e_out, w_out, er_out, wr_out) = outs[4:]
+        sro = outs[4] if strag_kn else None
         i = pl.program_id(0)
         n_rows = mz * my
 
@@ -610,8 +668,8 @@ def _make_kernel(
         # matrix.  Mosaic's default f32 dot is a single bf16 pass (quantizes
         # values) and HIGH is unimplemented — emulate f32 with a 3-term bf16
         # split (~24 mantissa bits; the 0/1 seg matrix is exact in bf16).
-        def segsum(t):
-            sb = seg_bf16[...]
+        def segsum(t, sb=None):
+            sb = seg_bf16[...] if sb is None else sb
             hi = t.astype(jnp.bfloat16)
             rem = t - hi.astype(jnp.float32)
             mid = rem.astype(jnp.bfloat16)
@@ -640,12 +698,20 @@ def _make_kernel(
         # ONE batched center expansion for every sub-pencil: (rpp·nC, M·C).
         n_cen_c = centers.shape[1]
         cen_alls = mm(centers[...].reshape(rpp * n_cen_c, m), expand[...])
+        if strag_kn:
+            # Second expansion keyed (cell cx, straggler k) for the
+            # straggler tiles — one batched MXU dispatch for all fields
+            # (coords + the trailing center-validity row).
+            cen_kn_alls = mm(
+                centers[...].reshape(rpp * n_cen_c, m), expand_kn[...]
+            )
 
         n_fields = 5 if compute_energy else 3
         by_row = {}
         for dz, dy, dx in _HALF_SHELL:
             by_row.setdefault((dz, dy), []).append(dx)
         accs = []
+        accs_strag = []
         for r in range(rpp):
             row_lin = i * rpp + r
             cz = row_lin // my
@@ -689,6 +755,64 @@ def _make_kernel(
                 else:
                     _rmw()
 
+            if strag_kn:
+                # Straggler tile: this row's center atoms (C, M·Kn expanded)
+                # against its ≤Kn 9-hood aux atoms.  Raw deltas are
+                # min-imaged (static box — straggler mode has no barostat),
+                # so BOTH sides mask invalids explicitly: empty aux lanes
+                # via smask, empty center slots via the expanded validity
+                # field (their far sentinels would otherwise wrap back into
+                # the box and shed garbage onto real stragglers).
+                base_k = r * n_cen_c
+                ckx = cen_kn_alls[base_k : base_k + c]
+                cky = cen_kn_alls[base_k + c : base_k + 2 * c]
+                ckz = cen_kn_alls[base_k + 2 * c : base_k + 3 * c]
+                ckv = cen_kn_alls[base_k + 3 * c : base_k + 4 * c]
+                if interpret:
+                    tile_m = lambda t: jnp.tile(t, (1, m))
+                else:
+                    tile_m = lambda t: pltpu.repeat(t, m, axis=1)
+                ssx = tile_m(sgx[r, 0:1, :])
+                ssy = tile_m(sgy[r, 0:1, :])
+                ssz = tile_m(sgz[r, 0:1, :])
+                ssm = tile_m(smask[r, 0:1, :])
+                dvx = ckx - ssx
+                dvy = cky - ssy
+                dvz = ckz - ssz
+                dvx = dvx - jnp.round(dvx * s_invbox) * s_box
+                dvy = dvy - jnp.round(dvy * s_invbox) * s_box
+                dvz = dvz - jnp.round(dvz * s_invbox) * s_box
+                r2 = (
+                    dvx * dvx + dvy * dvy + dvz * dvz
+                    + (1.0 - ssm * ckv) * 1.0e8
+                )
+                rinv = _recip(r2, interpret, n_newton)
+                s2 = s_sig2 * rinv
+                s6 = s2 * s2 * s2
+                t6 = s_eps4 * s6
+                t12 = t6 * s6
+                x = jnp.clip((r2 - rs2) * invd2, 0.0, 1.0)
+                pa = ((((-12.0 * x + (s_am + 60.0)) * x - (60.0 + 2.0 * s_am)) * x + s_am) * x) * x + 12.0
+                pb = ((((24.0 * x + (s_am - 30.0)) * x - 2.0 * s_am) * x + s_am) * x) * x + 6.0
+                gf = (t12 * pa - t6 * pb) * rinv
+                gsx = gf * dvx
+                gsy = gf * dvy
+                gsz = gf * dvz
+                # Straggler-side Newton reaction: one per-program write.
+                sro[r] = jnp.concatenate(
+                    [
+                        -jnp.sum(gsx, axis=0, keepdims=True),
+                        -jnp.sum(gsy, axis=0, keepdims=True),
+                        -jnp.sum(gsz, axis=0, keepdims=True),
+                    ],
+                    axis=0,
+                )
+                # Center-side per-cell reduction (batched 3-split segsum).
+                sred = segsum(
+                    jnp.concatenate([gsx, gsy, gsz], axis=0), seg_kn_bf16[...]
+                )
+                accs_strag.append(sred)
+
             accs.append(acc[:n_fields])
 
         # ONE batched segment reduction across every sub-pencil's fields.
@@ -696,9 +820,16 @@ def _make_kernel(
         reduced = segsum(stacked)  # (rpp·n·C, M)
         for r in range(rpp):
             base = r * n_fields * c
-            fx[r] = reduced[base : base + c]
-            fy[r] = reduced[base + c : base + 2 * c]
-            fz[r] = reduced[base + 2 * c : base + 3 * c]
+            rfx = reduced[base : base + c]
+            rfy = reduced[base + c : base + 2 * c]
+            rfz = reduced[base + 2 * c : base + 3 * c]
+            if strag_kn:
+                rfx = rfx + accs_strag[r][0:c]
+                rfy = rfy + accs_strag[r][c : 2 * c]
+                rfz = rfz + accs_strag[r][2 * c : 3 * c]
+            fx[r] = rfx
+            fy[r] = rfy
+            fz[r] = rfz
             if compute_energy:
                 e_out[r] = reduced[base + 3 * c : base + 4 * c]
                 w_out[r] = reduced[base + 4 * c : base + 5 * c]
@@ -790,6 +921,8 @@ def halfshell_call(
     excl_cs: bool = False,
     excl_eb: int = 0,
     rows_per_program: int = 1,
+    strag_inputs=None,
+    strag_kn: int = 0,
 ):
     """Raw half-shell pallas_call over a pre-built ghost grid — no folding.
 
@@ -814,6 +947,7 @@ def halfshell_call(
         config, (rs2, invd2), compute_energy, interpret,
         uniform_params=uniform_params, coulomb=coulomb, dims=dims,
         excl_e=excl_e, excl_cs=excl_cs, excl_eb=excl_eb, rows_per_program=rpp,
+        strag_kn=strag_kn,
     )
 
     # Pallas TPU blocks must have their last dims 128-divisible or full —
@@ -825,6 +959,8 @@ def halfshell_call(
     )
     n_cen = n_ghost - (1 if excl_e else 0) + excl_e * (3 if excl_cs else 2)
     n_cen += excl_eb * (3 if compute_energy else 2)
+    if strag_kn:
+        n_cen += 1  # trailing center-validity row (straggler min-image mask)
     ghost_spec = pl.BlockSpec((gz * gy, gx * c), lambda i: (0, 0), memory_space=pltpu.VMEM)
     center_spec = pl.BlockSpec(
         (rpp, n_cen * c, mx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -856,9 +992,30 @@ def halfshell_call(
         ]
         out_specs += [out_center, out_center, out_ghost1, out_ghost1]
 
+    strag_specs = []
+    strag_tiles = ()
+    if strag_kn:
+        mkn = mx * strag_kn
+        strag_specs = [
+            pl.BlockSpec((mx, mkn), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mkn, mx), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec(
+                (rpp, 1, strag_kn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        ] * 4
+        strag_tiles = _strag_const_tiles(mx, strag_kn)
+        out_shapes.append(
+            jax.ShapeDtypeStruct((mz * my, 3, mkn), jnp.float32)  # strag react
+        )
+        out_specs.append(
+            pl.BlockSpec((rpp, 3, mkn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
+        inputs = tuple(inputs) + strag_tiles + tuple(strag_inputs)
+
     call_kwargs = dict(
         grid=(-(-(mz * my) // rpp),),
-        in_specs=[ghost_spec] * n_ghost + [center_spec] + const_specs,
+        in_specs=[ghost_spec] * n_ghost + [center_spec] + const_specs + strag_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
     )
@@ -1276,3 +1433,112 @@ def pallas_cell_forces_streaming(
     energies = uncenter(outs[8]) + assemble(3)
     virials = uncenter(outs[9]) + assemble(4)
     return forces, energies, virials
+
+
+# ---------------------------------------------------------------------------
+# Component-layout (split) wrappers — the scan-carry glue killers
+# ---------------------------------------------------------------------------
+#
+# The r4 device trace (docs/PERF.md "profile stamp") measured 9.4% of the
+# production step in XLA layout churn: the scan carry's (M³, C, 3) coordinate
+# arrays hop three physical layouts before reaching the kernel operands, and
+# the kernel's stacked (…, 3) force output hops back.  These wrappers take and
+# return per-component (M³, C) arrays so a rollout can carry the state in the
+# kernel-operand layout end to end — no (…, 3) stack/unstack inside the scan.
+# Uniform-params fast path only (the pure-LJ fluid benchmarks); molecular
+# systems keep the stacked-state entry points above.
+
+
+@partial(jax.jit, static_argnames=("config", "interpret", "uniform_params"))
+def pallas_cell_forces_split(
+    px, py, pz, valid,
+    config: CellDenseConfig,
+    *,
+    uniform_params,
+    interpret: bool = False,
+    box=None,
+):
+    """VMEM-resident kernel on component arrays: (M³, C) x/y/z + valid →
+    (fx, fy, fz), each (M³, C).  Numerically identical to
+    `pallas_cell_forces(..., uniform_params=...)` (same kernel, same operand
+    values) — only the XLA-side packing differs."""
+    m, c = config.cells_per_dim, config.capacity
+    g = m + 2
+    sbox = jnp.float32(config.box) if box is None else box
+    far = _sentinel_far(config)
+    sx = jnp.where(valid, px, far)
+    sy = jnp.where(valid, py, far)
+    sz = jnp.where(valid, pz, far)
+    grid = lambda a: a.reshape(m, m, m, c)
+    gx = _ghost(grid(sx), m, axis_shift=2, box=sbox).reshape(g * g, g * c)
+    gy = _ghost(grid(sy), m, axis_shift=1, box=sbox).reshape(g * g, g * c)
+    gz = _ghost(grid(sz), m, axis_shift=0, box=sbox).reshape(g * g, g * c)
+
+    def center(a):
+        return a.reshape(m * m, m, c).transpose(0, 2, 1)  # (M², C, M)
+
+    centers = jnp.concatenate([center(sx), center(sy), center(sz)], axis=1)
+    inputs = (gx, gy, gz, centers) + _const_tiles(m, c)
+    outs = halfshell_call(
+        inputs, config, (m, m, m),
+        compute_energy=False, interpret=interpret,
+        uniform_params=uniform_params,
+    )
+
+    def uncenter(a):  # (M², C, M) → (M³, C)
+        return a.transpose(0, 2, 1).reshape(m**3, c)
+
+    fx, fy, fz, react = outs
+    react = react.reshape(3, g * g, g * c)
+    return (
+        uncenter(fx) + _fold_ghosts(react[0], m, c),
+        uncenter(fy) + _fold_ghosts(react[1], m, c),
+        uncenter(fz) + _fold_ghosts(react[2], m, c),
+    )
+
+
+@partial(jax.jit, static_argnames=("config", "uniform_params", "interpret"))
+def pallas_cell_forces_streaming_split(
+    px, py, pz, valid,
+    config: CellDenseConfig,
+    *,
+    uniform_params,
+    interpret: bool = False,
+    box=None,
+):
+    """HBM-streaming kernel on component arrays (uniform-params fast path);
+    see `pallas_cell_forces_split`.  Numerically identical to
+    `pallas_cell_forces_streaming(..., uniform_params=...)`."""
+    m, c = config.cells_per_dim, config.capacity
+    g = m + 2
+    sbox = jnp.float32(config.box) if box is None else box
+    far = _sentinel_far(config)
+    sx = jnp.where(valid, px, far)
+    sy = jnp.where(valid, py, far)
+    sz = jnp.where(valid, pz, far)
+    grid = lambda a: a.reshape(m, m, m, c)
+    ghosts = [
+        _ghost(grid(sx), m, axis_shift=2, box=sbox).reshape(g, g, 1, g * c),
+        _ghost(grid(sy), m, axis_shift=1, box=sbox).reshape(g, g, 1, g * c),
+        _ghost(grid(sz), m, axis_shift=0, box=sbox).reshape(g, g, 1, g * c),
+    ]
+
+    def center(a):
+        return a.reshape(m * m, m, c).transpose(0, 2, 1)
+
+    centers = jnp.concatenate([center(sx), center(sy), center(sz)], axis=1)
+    outs = streaming_halfshell_call(
+        ghosts, centers, config, (m, m, m),
+        compute_energy=False, interpret=interpret,
+        uniform_params=uniform_params, wrap_reaction=True,
+    )
+
+    def uncenter(a):
+        return a.transpose(0, 2, 1).reshape(m**3, c)
+
+    react_sum = sum(outs[3:8])
+    return (
+        uncenter(outs[0]) + react_sum[:, 0, :].reshape(m**3, c),
+        uncenter(outs[1]) + react_sum[:, 1, :].reshape(m**3, c),
+        uncenter(outs[2]) + react_sum[:, 2, :].reshape(m**3, c),
+    )

@@ -300,3 +300,36 @@ def test_leapfrog_nve_matches_kdk():
     pe0, _, ke0 = (float(x) for x in energy(st))
     pe1, _, ke1 = (float(x) for x in energy(out_lf))
     assert abs((pe1 + ke1) - (pe0 + ke0)) / max(abs(pe0 + ke0), 1.0) < 2e-4
+
+
+def test_component_carry_matches_stacked_leapfrog():
+    """The component-layout scan carry (seven (M³, C) arrays instead of
+    (M³, C, 3) tensors — the r5 layout-glue fix, docs/PERF.md) must
+    reproduce the stacked leapfrog path: the kernel and rebin transport are
+    bit-identical, the integrator chains agree up to XLA's per-graph fma
+    association (≤ 2 ulp/step)."""
+    from emdee_tpu.neighbors.cell_dense import detect_uniform_params
+
+    pos, vel, L, params, config, model = _setup(n=1728, density=0.6)
+    n = pos.shape[0]
+    uni = detect_uniform_params(params)
+    st = cell_dense_init(pos, vel, np.ones(n), params, config)
+    assert not bool(st.overflow)
+
+    outs = {}
+    for cc in (True, False):
+        rollout, energy = make_cell_dense_sim(
+            config, model, dt=0.004, backend="pallas_interpret",
+            uniform_params=uni, uniform_mass=1.0, component_carry=cc,
+        )
+        out = rollout(st, num_steps=24, rebin_every=6)
+        assert not bool(out.overflow)
+        assert int(out.step) == 24
+        pe, _, ke = (float(x) for x in energy(out))
+        outs[cc] = (*gather_dense_atoms(out, n), pe, ke)
+
+    p_cc, v_cc, pe_cc, ke_cc = outs[True]
+    p_st, v_st, pe_st, ke_st = outs[False]
+    np.testing.assert_allclose(p_cc, p_st, atol=2e-5)
+    np.testing.assert_allclose(v_cc, v_st, atol=2e-4)
+    assert abs(pe_cc - pe_st) / abs(pe_st) < 1e-5
