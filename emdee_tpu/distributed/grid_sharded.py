@@ -166,6 +166,7 @@ def make_grid_sharded_sim(
     excl_leftover=None,
     atom_params=None,
     atom_charges=None,
+    rebin_kernel: bool = True,
 ):
     """(rollout, energy) closures; state is grid-layout, mesh-sharded.
 
@@ -1015,12 +1016,66 @@ def make_grid_sharded_sim(
         nf = len(fields)
         # Pass order z, y, x — matches the single-chip `_rebin_shift`, so
         # slot order (and with it f32 summation order) is identical.
-        for axis in (0, 1, 2):
-            cf = _COORD_OF_AXIS[axis]
-            fields, validf, overflow = _route_axis_pass(
-                fields, validf, overflow, cf, _b_global(axis), m, config,
-                spill_eps, _nbr_factory(axis), box=box,
+        use_rebin_kernel = (
+            rebin_kernel
+            and backend.startswith("pallas")
+            and not (config.spill and spill_eps > 0.0)
+        )
+        if use_rebin_kernel:
+            # Per-shard Pallas routing (VERDICT r4 item 4): the cross-shard
+            # candidate layers arrive by the SAME per-axis ppermute splice
+            # as the XLA path (`_nbr_factory`), pre-built into full windows;
+            # the mask/rank/log-shift rounds — the 11.8 ms/rebin XLA cost at
+            # 1M atoms single-chip — run in VMEM (pallas_rebin.py
+            # `rebin_window_pass_pallas`).  Bit-exact vs the XLA rounds
+            # (differential-tested under shard_map).
+            from emdee_tpu.neighbors.pallas_rebin import (
+                SENTINEL_BITS,
+                rebin_window_pass_pallas,
             )
+
+            sent_f = jax.lax.bitcast_convert_type(
+                jnp.int32(SENTINEL_BITS), jnp.float32
+            )
+            for i in range(3):
+                fields[i] = jnp.where(validf, fields[i], sent_f)
+            cast = [
+                (jax.lax.bitcast_convert_type(f, jnp.int32)
+                 if f.dtype == jnp.float32 else f.astype(jnp.int32))
+                for f in fields
+            ]
+            x = jnp.stack(cast)  # (nf, ncl, C) int32
+            rows = my * mx
+            rebin_interp = backend.endswith("interpret")
+            for axis in (0, 1, 2):
+                cf = _COORD_OF_AXIS[axis]
+                nbr = _nbr_factory(axis)
+                wl = jnp.stack([nbr(x[i], -1) for i in range(nf)])
+                wr = jnp.stack([nbr(x[i], +1) for i in range(nf)])
+                b3 = _b_global(axis).reshape(mz, rows, 1)
+                x4, ovf_p = rebin_window_pass_pallas(
+                    x.reshape(nf, mz, rows, c),
+                    wl.reshape(nf, mz, rows, c),
+                    wr.reshape(nf, mz, rows, c),
+                    b3, box, cf, m, c, config.num_slots,
+                    planes=mz, interpret=rebin_interp,
+                )
+                x = x4.reshape(nf, ncl, c)
+                overflow = overflow | ovf_p
+            fields = []
+            for i, f0 in enumerate(cast):
+                o = x[i]
+                if i != nf - 1:  # every routed field except atom_id is f32
+                    o = jax.lax.bitcast_convert_type(o, jnp.float32)
+                fields.append(o)
+            validf = fields[nf - 1] < config.num_slots
+        else:
+            for axis in (0, 1, 2):
+                cf = _COORD_OF_AXIS[axis]
+                fields, validf, overflow = _route_axis_pass(
+                    fields, validf, overflow, cf, _b_global(axis), m, config,
+                    spill_eps, _nbr_factory(axis), box=box,
+                )
         unflat = lambda a: a.reshape((mz, my, mx) + a.shape[1:])
         new_pos = jnp.stack(fields[0:3], axis=-1)
         new_pos = jnp.where(validf[..., None], new_pos, 0.0)

@@ -208,23 +208,23 @@ def _bindings(acell, avalid, config: StragglerConfig, hood):
         & (r[:, None, :] > 0)
     )
     o_bf = o.astype(jnp.bfloat16)  # (M², Kn, A)
-    smask = jnp.sum(o.astype(jnp.float32), axis=2)[:, None, :]  # (M², 1, Kn)
+    sm = jnp.sum(o.astype(jnp.float32), axis=2)  # (M², Kn)
+    smask = jnp.tile(sm[:, None, :], (1, 1, m))  # (M², 1, M·Kn) pre-tiled
     return o_bf, smask, kn_overflow
 
 
-def _build_strag_rows(o_bf, ax, ay, az):
-    """(A,) aux coordinates → (M², 1, Kn) kernel list rows (bit-exact)."""
+def _build_strag_rows(o_bf, ax, ay, az, m):
+    """(A,) aux coordinates → (M², 1, M·Kn) kernel list rows (bit-exact),
+    pre-tiled across the M lane groups (the kernel reads them as-is — an
+    in-kernel repeat hit a Mosaic layout error)."""
     stack = jnp.stack([ax, ay, az], axis=0)  # (3, A)
     hi, mid, lo = _split3(stack)
     f = lambda u: jax.lax.dot_general(
         o_bf, u, (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (M², Kn, 3)
     t = f(hi) + f(mid) + f(lo)
-    return (
-        t[:, :, 0][:, None, :],
-        t[:, :, 1][:, None, :],
-        t[:, :, 2][:, None, :],
-    )
+    tile = lambda a: jnp.tile(a[:, None, :], (1, 1, m))  # (M², 1, M·Kn)
+    return tile(t[:, :, 0]), tile(t[:, :, 1]), tile(t[:, :, 2])
 
 
 def _fold_strag_react(o_bf, sro, m: int, kn: int):
@@ -351,7 +351,7 @@ def make_straggler_sim(
             [center(sx), center(sy), center(sz), center(valid.astype(jnp.float32))],
             axis=1,
         )
-        sgx, sgy, sgz = _build_strag_rows(o_bf, ax, ay, az)
+        sgx, sgy, sgz = _build_strag_rows(o_bf, ax, ay, az, m)
         outs = halfshell_call(
             (gx, gy, gz, centers) + _const_tiles(m, c_t), cfg_t, (m, m, m),
             interpret=interp, uniform_params=uniform_params,

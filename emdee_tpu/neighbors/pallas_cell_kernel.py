@@ -768,14 +768,13 @@ def _make_kernel(
                 cky = cen_kn_alls[base_k + c : base_k + 2 * c]
                 ckz = cen_kn_alls[base_k + 2 * c : base_k + 3 * c]
                 ckv = cen_kn_alls[base_k + 3 * c : base_k + 4 * c]
-                if interpret:
-                    tile_m = lambda t: jnp.tile(t, (1, m))
-                else:
-                    tile_m = lambda t: pltpu.repeat(t, m, axis=1)
-                ssx = tile_m(sgx[r, 0:1, :])
-                ssy = tile_m(sgy[r, 0:1, :])
-                ssz = tile_m(sgz[r, 0:1, :])
-                ssm = tile_m(smask[r, 0:1, :])
+                # Straggler rows arrive pre-tiled to (1, M·Kn) lanes — an
+                # in-kernel pltpu.repeat of the (1, Kn) row hit a Mosaic
+                # layout error (vpad'd vector.load) on real TPUs.
+                ssx = sgx[r, 0:1, :]
+                ssy = sgy[r, 0:1, :]
+                ssz = sgz[r, 0:1, :]
+                ssm = smask[r, 0:1, :]
                 dvx = ckx - ssx
                 dvy = cky - ssy
                 dvz = ckz - ssz
@@ -1001,7 +1000,7 @@ def halfshell_call(
             pl.BlockSpec((mkn, mx), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ] + [
             pl.BlockSpec(
-                (rpp, 1, strag_kn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (rpp, 1, mkn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             )
         ] * 4
         strag_tiles = _strag_const_tiles(mx, strag_kn)

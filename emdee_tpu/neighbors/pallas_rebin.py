@@ -272,3 +272,148 @@ def rebin_routing_pallas(
             o = jax.lax.bitcast_convert_type(o, jnp.float32)
         res.append(o)
     return tuple(res), ovf
+
+
+# ---------------------------------------------------------------------------
+# Sharded (per-axis, pre-built-window) variant — the shard_map rebin path
+# ---------------------------------------------------------------------------
+#
+# Under shard_map each routing pass's ±1-cell candidate content crosses shard
+# edges (delivered by grid_sharded's per-axis ppermute splice), so the
+# periodic in-kernel rolls above don't apply.  This variant takes the three
+# candidate views PRE-BUILT (own / left-neighbor / right-neighbor cell
+# content, any axis) plus the cells' GLOBAL coordinate along the pass axis,
+# and runs the mask/rank/log-shift rounds in VMEM — the part that cost
+# 11.8 ms/rebin as XLA ops at 1M atoms.  One pallas_call per pass; the
+# caller re-exchanges windows between passes (content changes each pass).
+
+
+def _make_window_pass_kernel(m_global: int, rows: int, c: int, nf: int, num_slots: int):
+    k = 3 * c
+    kp = _round_up(k, 128)
+    n_bits = max(1, int(np.ceil(np.log2(k))))
+    i8 = jnp.int8
+
+    def kernel(box_ref, triu_ref, b_ref, own, wl, wr, crd, crd_l, crd_r,
+               out_ref, ovf_ref, arrive_ref, counts_ref):
+        p = pl.program_id(0)
+        f = pl.program_id(1)
+        box = box_ref[0, 0]
+        mf = jnp.float32(m_global)
+        b = b_ref[0][:, 0:1]  # (rows, 1) global coordinate of each cell
+
+        def masks_of(crd_bits, bcol):
+            valid = crd_bits != SENTINEL_BITS
+            coord = pltpu.bitcast(crd_bits, jnp.float32)
+            scaled = coord / box
+            t = jnp.clip(
+                jnp.floor(mf * (scaled - jnp.floor(scaled))).astype(jnp.int32),
+                0, m_global - 1,
+            )
+            d = jnp.where(valid, jax.lax.rem((t - bcol) + m_global, m_global), 0)
+            legal = (d == 0) | (d == 1) | (d == m_global - 1)
+            bad = jnp.sum((valid & ~legal).astype(jnp.int32))
+            g_minus = (valid & (d == m_global - 1)).astype(i8)
+            g_stay = (valid & (d == 0)).astype(i8)
+            g_plus = (valid & (d == 1)).astype(i8)
+            return g_minus, g_stay, g_plus, bad
+
+        @pl.when(f == 0)
+        def _prepare():
+            # Candidates of dest cell b: [b−1's +movers, b's stayers,
+            # b+1's −movers] — the window arrays hold the NEIGHBOR CELLS'
+            # content, so their masks are evaluated at b∓1.
+            bm = jax.lax.rem(b - 1 + m_global, m_global)
+            bp = jax.lax.rem(b + 1, m_global)
+            _, _, gp_l, _ = masks_of(crd_l[0, 0], bm)
+            _, gs_o, _, bad = masks_of(crd[0, 0], b)
+            gm_r, _, _, _ = masks_of(crd_r[0, 0], bp)
+            zero_tail = jnp.zeros((rows, kp - k), i8)
+            wm = jnp.concatenate([gp_l, gs_o, gm_r, zero_tail], axis=1)
+            rank = jax.lax.dot_general(
+                wm.astype(jnp.bfloat16), triu_ref[...],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            counts = jnp.sum(wm.astype(jnp.int32), axis=1, keepdims=True)
+            counts_ref[...] = counts
+            overflow = (bad > 0) | (jnp.max(counts) > c)
+            ovf_ref[p, 0] = overflow.astype(jnp.int32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (rows, kp), 1)
+            s = jnp.where(wm != 0, lane - rank, 0)
+            for j in range(n_bits):
+                sh = 1 << j
+                mv = s & sh
+                arrive = (jnp.roll(mv, -sh, axis=1) != 0) & (lane < k - sh)
+                arrive_ref[j] = arrive.astype(i8)
+                s = jnp.where(arrive, jnp.roll(s, -sh, axis=1) - sh, s)
+                s = jnp.where((mv != 0) & ~arrive, 0, s)
+
+        ftail = jnp.zeros((rows, kp - k), jnp.int32)
+        w = jnp.concatenate([wl[0, 0], own[0, 0], wr[0, 0], ftail], axis=1)
+        for j in range(n_bits):
+            arr = arrive_ref[j] != 0
+            w = jnp.where(arr, jnp.roll(w, -(1 << j), axis=1), w)
+        slot_lane = jax.lax.broadcasted_iota(jnp.int32, (rows, c), 1)
+        valid_out = slot_lane < counts_ref[...]
+        fill = jnp.where(
+            f < 3, jnp.int32(SENTINEL_BITS),
+            jnp.where(f == nf - 1, jnp.int32(num_slots), 0)
+        )
+        out_ref[0, 0] = jnp.where(valid_out, w[:, :c], fill)
+
+    return kernel, kp, n_bits
+
+
+def rebin_window_pass_pallas(
+    x, win_left, win_right, b, box, cf: int, m_global: int, c: int,
+    num_slots: int, planes: int, interpret: bool = False,
+):
+    """One routing pass over pre-built candidate windows.
+
+    x / win_left / win_right: (nf, planes, rows, c) int32 (f32 payloads
+    bitcast; coords carry the NaN sentinel in empty slots); b: (planes,
+    rows, 1) int32 GLOBAL cell coordinate along the pass axis; cf the
+    position-component field index this pass bins on (x=0, y=1, z=2);
+    m_global the global cell count on that axis.  Returns (x_out,
+    overflow)."""
+    nf, _, rows, _ = x.shape
+    kernel, kp, n_bits = _make_window_pass_kernel(m_global, rows, c, nf, num_slots)
+    blk = (1, 1, rows, c)
+    at_pf = lambda p, f: (f, p, 0, 0)
+    at_cf = lambda p, f, cf=cf: (cf, p, 0, 0)
+    call = pl.pallas_call(
+        kernel,
+        grid=(planes, nf),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # box
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # triu
+            pl.BlockSpec((1, rows, 1), lambda p, f: (p, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, at_pf, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, at_pf, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, at_pf, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, at_cf, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, at_cf, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, at_cf, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(blk, at_pf, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nf, planes, rows, c), jnp.int32),
+            jax.ShapeDtypeStruct((planes, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_bits, rows, kp), jnp.int8),
+            pltpu.VMEM((rows, 1), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )
+    box_arr = jnp.asarray(box, jnp.float32).reshape(1, 1)
+    out, ovf = call(
+        box_arr, _triu(kp), b, x, win_left, win_right, x, win_left, win_right
+    )
+    return out, jnp.any(ovf > 0)

@@ -190,3 +190,26 @@ def test_grid_lj_energy_pallas_matches_xla(backend):
     pe_p, vir_p, _ = (float(v) for v in e_pal(st_sh))
     assert pe_p == pytest.approx(pe_x, rel=1e-5, abs=1e-3)
     assert vir_p == pytest.approx(vir_x, rel=1e-5, abs=1e-3)
+
+
+@pytest.mark.parametrize("backend", PALLAS_BACKENDS)
+def test_grid_rebin_kernel_bitexact_vs_xla_rounds(backend):
+    """The per-shard Pallas rebin (window-pass kernel, VERDICT r4 item 4)
+    must reproduce the XLA `_route_axis_pass` rounds BIT-FOR-BIT under
+    shard_map: same force backend, only the rebin transport differs, so the
+    trajectories must be identical to the last bit."""
+    from tests.test_grid_sharded import _setup
+
+    st, config, model, n = _setup(n=1024, density=0.12)
+    mesh = make_grid_mesh((2, 2, 2))
+    st_sh = distribute_grid(st, config, mesh)
+    outs = {}
+    for rk in (True, False):
+        rollout, _ = make_grid_sharded_sim(
+            config, model, 0.002, mesh, backend=backend, rebin_kernel=rk
+        )
+        out = rollout(st_sh, num_steps=9, rebin_every=3)
+        assert not bool(out.overflow)
+        outs[rk] = gather_grid_atoms(out, config, n)
+    np.testing.assert_array_equal(outs[True][0], outs[False][0])
+    np.testing.assert_array_equal(outs[True][1], outs[False][1])
