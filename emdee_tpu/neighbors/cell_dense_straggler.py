@@ -209,7 +209,11 @@ def _bindings(acell, avalid, config: StragglerConfig, hood):
     )
     o_bf = o.astype(jnp.bfloat16)  # (M², Kn, A)
     sm = jnp.sum(o.astype(jnp.float32), axis=2)  # (M², Kn)
-    smask = jnp.tile(sm[:, None, :], (1, 1, m))  # (M², 1, M·Kn) pre-tiled
+    mkn = -(-(m * kn) // 128) * 128
+    smask = jnp.pad(
+        jnp.tile(sm[:, None, :], (1, 1, m)),  # (M², 1, M·Kn), pad lanes 0
+        ((0, 0), (0, 0), (0, mkn - m * kn)),
+    )
     return o_bf, smask, kn_overflow
 
 
@@ -223,13 +227,19 @@ def _build_strag_rows(o_bf, ax, ay, az, m):
         o_bf, u, (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (M², Kn, 3)
     t = f(hi) + f(mid) + f(lo)
-    tile = lambda a: jnp.tile(a[:, None, :], (1, 1, m))  # (M², 1, M·Kn)
+    mkn = -(-(m * t.shape[1]) // 128) * 128
+    pad = mkn - m * t.shape[1]
+
+    def tile(a):  # (M², Kn) → (M², 1, M·Kn_pad): tiled across lane groups
+        out = jnp.tile(a[:, None, :], (1, 1, m))
+        return jnp.pad(out, ((0, 0), (0, 0), (0, pad)))
+
     return tile(t[:, :, 0]), tile(t[:, :, 1]), tile(t[:, :, 2])
 
 
 def _fold_strag_react(o_bf, sro, m: int, kn: int):
-    """(M², 3, M·Kn) per-program reaction rows → (3, A) aux forces."""
-    t = sro.reshape(m * m, 3, m, kn).sum(axis=2)  # (M², 3, Kn)
+    """(M², 3, M·Kn_pad) per-program reaction rows → (3, A) aux forces."""
+    t = sro[:, :, : m * kn].reshape(m * m, 3, m, kn).sum(axis=2)  # (M², 3, Kn)
     hi, mid, lo = _split3(t)
 
     def term(u):  # contract the (M², Kn) axes against O → (3, A)
@@ -284,6 +294,22 @@ def _widen_fields(gfields, aux_fields, acell, arank, avalid, config):
     return out
 
 
+def _nbr27_table(acell, avalid, m: int, nc: int):
+    """(A, 27) wrapped neighbor-cell ids of each straggler's parked cell
+    (invalid aux → the nc sentinel row, masked downstream)."""
+    z = acell // (m * m)
+    y = (acell // m) % m
+    x = acell % m
+    offs = [(dz, dy, dx) for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    cols = []
+    for dz, dy, dx in offs:
+        cols.append(
+            ((x + dx) % m) + m * (((y + dy) % m) + m * ((z + dz) % m))
+        )
+    tab = jnp.stack(cols, axis=1)
+    return jnp.where(avalid[:, None], tab, nc)
+
+
 def make_straggler_sim(
     config: StragglerConfig,
     model: LennardJonesModel,
@@ -291,6 +317,7 @@ def make_straggler_sim(
     uniform_params,
     uniform_mass: float = 1.0,
     backend: str = "auto",
+    strag_pass: str = "auto",
 ):
     """Build (rollout, energy) for uniform-LJ NVE on the straggler engine.
 
@@ -315,7 +342,23 @@ def make_straggler_sim(
             "straggler engine runs the VMEM-resident kernel only "
             f"(got backend={backend!r})"
         )
+    if strag_pass == "auto":
+        strag_pass = "xla" if backend == "pallas" else "kernel"
+    if strag_pass not in ("kernel", "xla"):
+        raise ValueError(f"strag_pass must be 'kernel' or 'xla', got {strag_pass!r}")
     interp = backend == "pallas_interpret"
+    if strag_pass == "kernel" and not interp:
+        # The in-kernel 9-hood tile computes WRONG forces when Mosaic-
+        # compiled (measured 0.30 max-rel on v5e even with 128-padded lanes,
+        # while interpret mode matches the wide engine to roundoff — a
+        # Mosaic layout bug around the (1, M·Kn) broadcast tile).  Until
+        # that is root-caused, real-TPU runs take the XLA 27-row-gather
+        # pass, which is also FASTER at production tail sizes (A ≲ 64:
+        # 1.164 vs 1.276 ms/step at the 100k benchmark — docs/PERF.md r5).
+        raise ValueError(
+            "strag_pass='kernel' is interpret-only (Mosaic miscompiles the "
+            "straggler tile on real TPUs); use strag_pass='xla' or 'auto'"
+        )
     rebin_backend = backend
     cfg_t = config.grid
     cfg_w = config.wide
@@ -334,7 +377,22 @@ def make_straggler_sim(
     if config.grid.spill:
         raise ValueError("straggler engine replaces spill mode — use spill=False")
 
-    def forces(px, py, pz, valid, ax, ay, az, avalid, o_bf, smask):
+    def bindings(acell, avalid, valid):
+        """Per-rebin straggler bindings for the selected pass + Kn flag.
+        `valid` is the post-rebin grid mask — fixed for the block, so the
+        XLA pass's candidate-validity gather happens once per rebin."""
+        if strag_pass == "kernel":
+            o_bf, smask, knovf = _bindings(acell, avalid, config, hood)
+            return (o_bf, smask), knovf
+        tab = _nbr27_table(acell, avalid, m, nc)
+        idx = jnp.minimum(tab.reshape(-1), nc - 1)
+        mask = (
+            valid.astype(jnp.float32)[idx].reshape(a_cap, 27 * c_t)
+            * avalid.astype(jnp.float32)[:, None]
+        )
+        return (idx, mask), jnp.asarray(False)
+
+    def forces(px, py, pz, valid, ax, ay, az, avalid, bind):
         far = _sentinel_far(cfg_t)
         sx = jnp.where(valid, px, far)
         sy = jnp.where(valid, py, far)
@@ -347,30 +405,74 @@ def make_straggler_sim(
         def center(a):
             return a.reshape(m * m, m, c_t).transpose(0, 2, 1)
 
-        centers = jnp.concatenate(
-            [center(sx), center(sy), center(sz), center(valid.astype(jnp.float32))],
-            axis=1,
-        )
-        sgx, sgy, sgz = _build_strag_rows(o_bf, ax, ay, az, m)
-        outs = halfshell_call(
-            (gx, gy, gz, centers) + _const_tiles(m, c_t), cfg_t, (m, m, m),
-            interpret=interp, uniform_params=uniform_params,
-            strag_inputs=(sgx, sgy, sgz, smask), strag_kn=kn,
-        )
-        fx_c, fy_c, fz_c, react, sro = outs
-
         def uncenter(a):
             return a.transpose(0, 2, 1).reshape(nc, c_t)
 
-        react = react.reshape(3, g * g, g * c_t)
-        fx = uncenter(fx_c) + _fold_ghosts(react[0], m, c_t)
-        fy = uncenter(fy_c) + _fold_ghosts(react[1], m, c_t)
-        fz = uncenter(fz_c) + _fold_ghosts(react[2], m, c_t)
-        af = _fold_strag_react(o_bf, sro, m, kn)  # (3, A)
+        cen_fields = [center(sx), center(sy), center(sz)]
+        if strag_pass == "kernel":
+            o_bf, smask = bind
+            centers = jnp.concatenate(
+                cen_fields + [center(valid.astype(jnp.float32))], axis=1
+            )
+            sgx, sgy, sgz = _build_strag_rows(o_bf, ax, ay, az, m)
+            outs = halfshell_call(
+                (gx, gy, gz, centers) + _const_tiles(m, c_t), cfg_t, (m, m, m),
+                interpret=interp, uniform_params=uniform_params,
+                strag_inputs=(sgx, sgy, sgz, smask), strag_kn=kn,
+            )
+            fx_c, fy_c, fz_c, react, sro = outs
+            react = react.reshape(3, g * g, g * c_t)
+            fx = uncenter(fx_c) + _fold_ghosts(react[0], m, c_t)
+            fy = uncenter(fy_c) + _fold_ghosts(react[1], m, c_t)
+            fz = uncenter(fz_c) + _fold_ghosts(react[2], m, c_t)
+            af = _fold_strag_react(o_bf, sro, m, kn)  # (3, A)
+            afx, afy, afz = af[0], af[1], af[2]
+        else:
+            # Pure-XLA straggler pass: each aux atom gathers its parked
+            # cell's 27-hood rows (A·27 row gathers — cheap at A ≲ 128),
+            # computes min-imaged uniform-LJ pairs, and scatter-adds the
+            # reactions back.  No kernel involvement — the robust path on
+            # hardware where the in-kernel tile trips Mosaic layouts.
+            centers = jnp.concatenate(cen_fields, axis=1)
+            outs = halfshell_call(
+                (gx, gy, gz, centers) + _const_tiles(m, c_t), cfg_t, (m, m, m),
+                interpret=interp, uniform_params=uniform_params,
+            )
+            fx_c, fy_c, fz_c, react = outs
+            react = react.reshape(3, g * g, g * c_t)
+            fx = uncenter(fx_c) + _fold_ghosts(react[0], m, c_t)
+            fy = uncenter(fy_c) + _fold_ghosts(react[1], m, c_t)
+            fz = uncenter(fz_c) + _fold_ghosts(react[2], m, c_t)
+            idx, mask = bind
+            a27c = (a_cap, 27 * c_t)
+            cxp = px[idx].reshape(a27c)
+            cyp = py[idx].reshape(a27c)
+            czp = pz[idx].reshape(a27c)
+            mi = lambda d: d - jnp.round(d / sbox) * sbox
+            dvx = mi(ax[:, None] - cxp)
+            dvy = mi(ay[:, None] - cyp)
+            dvz = mi(az[:, None] - czp)
+            r2 = dvx * dvx + dvy * dvy + dvz * dvz + (1.0 - mask) * 1.0e8
+            hs_u, tse_u = uniform_params
+            _, mre = pair_interaction(
+                r2, model, jnp.float32(hs_u), jnp.float32(tse_u),
+                jnp.float32(hs_u), jnp.float32(tse_u),
+            )
+            gfac = mask * mre / r2
+            gx_p = gfac * dvx
+            gy_p = gfac * dvy
+            gz_p = gfac * dvz
+            afx = jnp.sum(gx_p, axis=1)
+            afy = jnp.sum(gy_p, axis=1)
+            afz = jnp.sum(gz_p, axis=1)
+            rows = lambda t: -t.reshape(a_cap * 27, c_t)
+            fx = fx.at[idx].add(rows(gx_p))
+            fy = fy.at[idx].add(rows(gy_p))
+            fz = fz.at[idx].add(rows(gz_p))
         ssx, ssy, ssz = _aux_pair_forces(
             ax, ay, az, avalid, model, sbox, uniform_params
         )
-        return fx, fy, fz, af[0] + ssx, af[1] + ssy, af[2] + ssz
+        return fx, fy, fz, afx + ssx, afy + ssy, afz + ssz
 
     def rebin(carry):
         (px, py, pz, vx, vy, vz, aid,
@@ -420,9 +522,9 @@ def make_straggler_sim(
         ovf = gr.overflow
 
         # Initial half-kick with the CURRENT binding.
-        o0, sm0, knovf0 = _bindings(acell, acell < nc, config, hood)
+        bind0, knovf0 = bindings(acell, acell < nc, aid < sent)
         ovf = ovf | knovf0
-        f0 = forces(px, py, pz, aid < sent, ax, ay, az, acell < nc, o0, sm0)
+        f0 = forces(px, py, pz, aid < sent, ax, ay, az, acell < nc, bind0)
         vx, vy, vz = vx + half_dt * f0[0], vy + half_dt * f0[1], vz + half_dt * f0[2]
         avx = avx + half_dt * f0[3]
         avy = avy + half_dt * f0[4]
@@ -435,7 +537,7 @@ def make_straggler_sim(
                  ax, ay, az, avx, avy, avz, aaid, acell, arank, ovf) = carry
                 valid = aid < sent
                 avalid = acell < nc
-                o_bf, smask, knovf = _bindings(acell, avalid, config, hood)
+                bind, knovf = bindings(acell, avalid, valid)
                 ovf = ovf | knovf
                 rx, ry, rz = px, py, pz
                 arx, ary, arz = ax, ay, az
@@ -445,7 +547,7 @@ def make_straggler_sim(
                     px, py, pz = px + dt_f * vx, py + dt_f * vy, pz + dt_f * vz
                     ax, ay, az = ax + dt_f * avx, ay + dt_f * avy, az + dt_f * avz
                     fx, fy, fz, afx, afy, afz = forces(
-                        px, py, pz, valid, ax, ay, az, avalid, o_bf, smask
+                        px, py, pz, valid, ax, ay, az, avalid, bind
                     )
                     return (
                         px, py, pz,
@@ -487,9 +589,9 @@ def make_straggler_sim(
          ax, ay, az, avx, avy, avz, aaid, acell, arank, ovf) = carry
 
         # Closing half un-kick re-syncs velocities to integer steps.
-        oF, smF, knovfF = _bindings(acell, acell < nc, config, hood)
+        bindF, knovfF = bindings(acell, acell < nc, aid < sent)
         ovf = ovf | knovfF
-        fF = forces(px, py, pz, aid < sent, ax, ay, az, acell < nc, oF, smF)
+        fF = forces(px, py, pz, aid < sent, ax, ay, az, acell < nc, bindF)
         vx, vy, vz = vx - half_dt * fF[0], vy - half_dt * fF[1], vz - half_dt * fF[2]
         avx = avx - half_dt * fF[3]
         avy = avy - half_dt * fF[4]

@@ -194,15 +194,17 @@ def _const_tiles(m: int, c: int):
 
 
 def _strag_const_tiles(m: int, kn: int):
-    """Constant operand tiles for the straggler pass: the (M, M·Kn) center
-    expansion (lane (cx, k) ← cell cx) and the (M·Kn, M) bf16 segment
-    reduction back to per-cell center forces."""
-    mkn = m * kn
+    """Constant operand tiles for the straggler pass: the (M, M·Kn_pad)
+    center expansion (lane (cx, k) ← cell cx; pad lanes map to no cell) and
+    the (M·Kn_pad, M) bf16 segment reduction back to per-cell center
+    forces.  The lane dim is padded to a 128 multiple — see _make_kernel."""
+    mkn = -(-(m * kn) // 128) * 128
+    lane_cell = np.arange(mkn) // kn  # ≥ m in the pad region
     expand_kn = (
-        np.arange(m)[:, None] == (np.arange(mkn)[None, :] // kn)
+        np.arange(m)[:, None] == lane_cell[None, :]
     ).astype(np.float32)
     seg_kn = (
-        (np.arange(mkn)[:, None] // kn) == np.arange(m)[None, :]
+        lane_cell[:, None] == np.arange(m)[None, :]
     ).astype(np.float32)
     return (jnp.asarray(expand_kn), jnp.asarray(seg_kn, jnp.bfloat16))
 
@@ -610,7 +612,10 @@ def _make_kernel(
             )
         if mz < 3 or my < 3:
             raise ValueError("straggler pass needs ≥3 cells per sharded axis")
-    mkn = m * strag_kn
+    # Straggler lane dim padded to a 128 multiple: non-multiple lane dims
+    # (m·Kn = 192, 272, …) hit Mosaic vpad'd-load crashes / silent layout
+    # bugs on real TPUs; the pad lanes carry smask=0 and expand to no cell.
+    mkn = -(-(m * strag_kn) // 128) * 128
     if strag_kn:
         s_box = float(config.box)
         s_invbox = 1.0 / s_box
@@ -994,7 +999,7 @@ def halfshell_call(
     strag_specs = []
     strag_tiles = ()
     if strag_kn:
-        mkn = mx * strag_kn
+        mkn = -(-(mx * strag_kn) // 128) * 128
         strag_specs = [
             pl.BlockSpec((mx, mkn), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((mkn, mx), lambda i: (0, 0), memory_space=pltpu.VMEM),

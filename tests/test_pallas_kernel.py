@@ -210,6 +210,7 @@ def test_streaming_kernel_charged_with_exclusions_matches_xla():
     )
 
 
+@pytest.mark.full
 def test_kernel_rows_per_program_matches_default():
     """Multi-pencil programs (rows_per_program > 1, including a ragged last
     program) must agree with the default one-pencil grid — only reaction

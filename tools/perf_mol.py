@@ -46,7 +46,7 @@ def tile_system(system, reps=2):
     )
 
 
-def bench_mol(reps=4, steps=120, rebin_every=6):
+def bench_mol(reps=4, steps=120, rebin_every=6, band="auto"):
     import jax
 
     from emdee_tpu.modelling.forcefield import ForceField
@@ -68,7 +68,7 @@ def bench_mol(reps=4, steps=120, rebin_every=6):
     # tests/test_cell_dense_molecular.py::test_molecular_dense_spill_...).
     state, rollout, energy, config = dense_sim_from_system(
         system, cutoff=7.0, switch=6.0, dt=5e-4, skin=1.0, velocities=vel,
-        spill=True,
+        spill=True, exclusion_band=band,
     )
     assert not bool(state.overflow), "init overflow"
     from emdee_tpu.neighbors.cell_dense_molecular import build_exclusion_tables
@@ -84,7 +84,7 @@ def bench_mol(reps=4, steps=120, rebin_every=6):
     jax.block_until_ready(out.positions)
     dt_s = (time.perf_counter() - t0) / steps
     print(json.dumps({
-        "variant": f"mol_dioxin_reps{reps}",
+        "variant": f"mol_dioxin_reps{reps}_band{band}",
         "atoms": n,
         "cells": config.cells_per_dim,
         "capacity": config.capacity,
@@ -98,4 +98,5 @@ def bench_mol(reps=4, steps=120, rebin_every=6):
 if __name__ == "__main__":
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 120
-    bench_mol(reps, steps)
+    band = sys.argv[3] if len(sys.argv) > 3 else "auto"
+    bench_mol(reps, steps, band="auto" if band == "auto" else int(band))

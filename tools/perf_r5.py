@@ -166,12 +166,14 @@ def probe_step():
         )
 
 
-def probe_strag(ct: int = 30, cw: int = 40, a_cap: int = 128, kn: int = 16):
+def probe_strag(ct: int = 30, cw: int = 40, a_cap: int = 128, kn: int = 16,
+                pass_mode: str = "kernel"):
     """End-to-end straggler-engine step at the bench config + on-device
     numerics check vs the wide XLA engine."""
     from emdee_tpu.neighbors.cell_dense import cell_dense_forces
     from emdee_tpu.neighbors.cell_dense_straggler import (
         StragglerConfig,
+        gather_straggler_atoms,
         make_straggler_sim,
         straggler_init,
     )
@@ -188,20 +190,33 @@ def probe_strag(ct: int = 30, cw: int = 40, a_cap: int = 128, kn: int = 16):
     )
     st = straggler_init(pos_eq, vel_eq, np.ones(n), params, sconfig)
     n_aux = int((np.asarray(st.aux_cell) < sconfig.grid.num_cells).sum())
-    print(f"  C_t={ct} C_w={cw} A={a_cap} Kn={kn}: {n_aux} stragglers at init, "
-          f"init overflow={bool(st.grid.overflow)}")
+    print(f"  C_t={ct} C_w={cw} A={a_cap} Kn={kn} pass={pass_mode}: "
+          f"{n_aux} stragglers at init, init overflow={bool(st.grid.overflow)}")
     if bool(st.grid.overflow):
         return
     rollout, energy = make_straggler_sim(
         sconfig, model, dt=0.005, uniform_params=uni, uniform_mass=1.0,
+        strag_pass=pass_mode,
     )
-    # Numerics: straggler forces vs the wide XLA engine on-device.
+    # Numerics: straggler forces vs the wide XLA engine on-device, via a
+    # tiny-dt velocity probe (1 leapfrog step at dt=1e-6 ⇒ Δv/dt ≈ f).
     wide_st = rollout.wide_state(st)
     f_ref, _, _ = cell_dense_forces(wide_st, model, sconfig.wide, compute_energy=True)
-    out1 = rollout(st, num_steps=1, rebin_every=1)
+    fr = np.zeros((n, 3), np.float32)
+    ids = np.asarray(wide_st.atom_id).reshape(-1)
+    keep = np.asarray(wide_st.valid).reshape(-1)
+    fr[ids[keep]] = np.asarray(f_ref).reshape(-1, 3)[keep]
+    r_probe, _ = make_straggler_sim(
+        sconfig, model, dt=1e-6, uniform_params=uni, uniform_mass=1.0,
+        strag_pass=pass_mode,
+    )
+    outp = r_probe(st, num_steps=1, rebin_every=1)
+    _, v0 = gather_straggler_atoms(st, sconfig, n)
+    _, v1 = gather_straggler_atoms(outp, sconfig, n)
+    fp = (v1 - v0) / 1e-6
+    rel = float(np.abs(fp - fr).max()) / max(float(np.abs(fr).max()), 1.0)
+    print(f"  force check vs wide XLA (dt-probe): max rel {rel:.2e}")
     pe0 = float(energy(st)[0])
-    pe1 = float(energy(out1)[0])
-    print(f"  1-step pe {pe0:.2f} → {pe1:.2f} (sanity), f_ref max {float(abs(np.asarray(f_ref)).max()):.3f}")
 
     out = rollout(st, num_steps=600, rebin_every=rebin_every)
     jax.block_until_ready(out.grid.positions)
@@ -230,7 +245,7 @@ if __name__ == "__main__":
         print(f"== {w} ==")
         if w.startswith("strag"):
             parts = w.split(":")
-            args = [int(v) for v in parts[1:]]
+            args = [v if v.isalpha() else int(v) for v in parts[1:]]
             probe_strag(*args)
         else:
             {"occupancy": probe_occupancy, "force": probe_force, "step": probe_step}[w]()
