@@ -53,6 +53,14 @@ from emdee_tpu.neighbors.cell_dense import (
     suggest_cell_dense_config,
     suggest_rebin_interval,
 )
+from emdee_tpu.neighbors.cell_dense_straggler import (
+    StragglerConfig,
+    StragglerState,
+    gather_straggler_atoms,
+    make_straggler_sim,
+    straggler_init,
+    suggest_straggler_config,
+)
 from emdee_tpu.neighbors.cell_dense_molecular import (
     dense_sim_from_system,
     make_molecular_dense_sim,
@@ -107,6 +115,12 @@ __all__ = [
     "reconfigure_dense_state",
     "make_cell_dense_sim",
     "suggest_cell_dense_config",
+    "StragglerConfig",
+    "StragglerState",
+    "gather_straggler_atoms",
+    "make_straggler_sim",
+    "straggler_init",
+    "suggest_straggler_config",
     "suggest_rebin_interval",
     "dense_sim_from_system",
     "make_molecular_dense_sim",

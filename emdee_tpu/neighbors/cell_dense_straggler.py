@@ -10,9 +10,10 @@ REGENERATES between rebins, so a strictly tight grid always drops atoms.
 
 This engine makes the tight grid SAFE instead of trying to empty the tail:
 
-- the state grid stores C_t atoms/cell (vreg-quantized: C_t ∈ {25..30} all
-  cost (⌈C/8⌉=4, ⌈M·C/128⌉=4) vregs per tile pass, so C_t=30 gets the widest
-  margin in its cost class — docs/PERF.md r5);
+- the state grid stores C_t atoms/cell (measured cost is near-LINEAR in
+  C_t, not vreg-class-quantized: force pass −0.13 ms at C_t=28 vs C=32 at
+  the 100k benchmark, where the tail is 8.4 atoms mean / 30 max —
+  docs/PERF.md r5);
 - atoms beyond C_t park in a fixed (A,) auxiliary buffer ("stragglers"),
   assigned at rebin time, sticky-flagged if A ever overflows;
 - the force kernel pairs each pencil row's center atoms against the ≤Kn
@@ -84,17 +85,14 @@ def suggest_straggler_config(
     aux_capacity: int = 128,
     kn: int = 16,
 ) -> StragglerConfig:
-    """Tight-capacity config: C_t defaults to the top of the vreg cost class
-    below the 2.5σ capacity (⌈C/8⌉ sublane vregs are the real cost quantum,
-    so C_t = 8·⌈(mean+σ)/8⌉ − 2 … just pick ⌈mean⌉ rounded up to the class
-    ceiling: the measured occupancy max at the 100k benchmark is 30 vs the
-    2.5σ capacity 32 — docs/PERF.md r5)."""
+    """Tight-capacity config.  C_t defaults 4 below the mean+2.5σ capacity —
+    the measured sweet spot at the 100k benchmark (tail 8.4 atoms mean /
+    30 max, handled by A=64 at ~0.05 ms/step; one step tighter at C_t=26
+    grows the tail to 58/164 and the handling cost eats the capacity win —
+    docs/PERF.md r5)."""
     base = suggest_cell_dense_config(num_atoms, box, cutoff, switch, skin)
     if tight_capacity is None:
-        # Top of the vreg class below the 2.5σ capacity: e.g. 32 → 30
-        # (classes are {25..30}, {31..32 lanes differ}; ⌈C/8⌉ both 4, but
-        # M·C crosses a 128-lane boundary between 30 and 31 at M=17).
-        tight_capacity = base.capacity - 2
+        tight_capacity = base.capacity - 4
     if wide_capacity is None:
         wide_capacity = -(-(tight_capacity + 10) // 8) * 8
     return StragglerConfig(

@@ -48,6 +48,36 @@ def run_block(steps=60):
     uni = detect_uniform_params(params)
     config = suggest_cell_dense_config(n, box, cutoff=2.5, switch=2.0, skin=0.35)
     state = cell_dense_init(pos, vel, np.ones(n), params, config)
+    if os.environ.get("EMDEE_PROFILE_ENGINE", "straggler") == "straggler":
+        # r5 production path: C-tight straggler config (bench.py's).
+        from emdee_tpu.neighbors.cell_dense_straggler import (
+            StragglerConfig,
+            gather_straggler_atoms,
+            make_straggler_sim,
+            straggler_init,
+        )
+        from emdee_tpu.neighbors.cell_dense import gather_dense_atoms
+
+        rollout0, _ = make_cell_dense_sim(
+            config, model, dt=0.005, backend="auto",
+            uniform_params=uni, uniform_mass=1.0,
+        )
+        state = rollout0(state, num_steps=100, rebin_every=2)  # settle
+        pos_eq, vel_eq = gather_dense_atoms(state, n)
+        sconfig = StragglerConfig(
+            grid=config._replace(capacity=config.capacity - 4),
+            wide_capacity=config.capacity + 4, aux_capacity=64, kn=16,
+        )
+        st = straggler_init(pos_eq, vel_eq, np.ones(n), params, sconfig)
+        s_roll, _ = make_straggler_sim(
+            sconfig, model, dt=0.005, uniform_params=uni, uniform_mass=1.0,
+        )
+        st = s_roll(st, num_steps=steps, rebin_every=6)  # warm compile
+        jax.block_until_ready(st.grid.positions)
+        with jax.profiler.trace(TRACE_DIR):
+            st = s_roll(st, num_steps=steps, rebin_every=6)
+            jax.block_until_ready(st.grid.positions)
+        return n, steps
     rollout, _ = make_cell_dense_sim(
         config, model, dt=0.005, backend="auto",
         uniform_params=uni, uniform_mass=1.0,
