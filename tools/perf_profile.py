@@ -109,8 +109,27 @@ def summarize(n, steps):
     if not ops:
         print(json.dumps({"error": "no device events"}))
         return
-    hlo = [e for e in ops if not str(e.get("name", "")).startswith("jit_")]
+    hlo_all = [e for e in ops if not str(e.get("name", "")).startswith("jit_")]
     top = [e for e in ops if str(e.get("name", "")).startswith("jit_")]
+    # LEAF ops only: container spans (while bodies, closed_call, inlined
+    # computation calls) enclose their children on the same tid — counting
+    # them double-books every nested op (the straggler rollout's nested
+    # scans made this visible; the r4 path had no container spans).
+    hlo = []
+    by_tid = defaultdict(list)
+    for e in hlo_all:
+        by_tid[(e.get("pid"), e.get("tid"))].append(e)
+    for evs in by_tid.values():
+        evs.sort(key=lambda e: (e["ts"], -e["dur"]))
+        stack = []
+        has_child = [False] * len(evs)
+        for i, e in enumerate(evs):
+            while stack and evs[stack[-1]]["ts"] + evs[stack[-1]]["dur"] <= e["ts"]:
+                stack.pop()
+            if stack:
+                has_child[stack[-1]] = True
+            stack.append(i)
+        hlo.extend(e for i, e in enumerate(evs) if not has_child[i])
     by_name = defaultdict(float)
     for e in hlo:
         by_name[e["name"]] += e["dur"]
