@@ -544,15 +544,22 @@ def _route_axis_pass(fields, valid, overflow, cf, b, m, config, spill_eps, nbr, 
     return fields, valid, overflow
 
 
-def _rebin_shift_core(fields, valid, overflow, config: CellDenseConfig, box, backend: str):
+def _rebin_shift_core(
+    fields, valid, overflow, config: CellDenseConfig, box, backend: str,
+    wrap: bool = True,
+):
     """Field-list heart of the shift rebin: three ±1-cell routing passes.
 
     fields: list of (M³, C) arrays — positions x, y, z FIRST (wrapped into
-    [0, L) here), atom_id (int32) LAST.  Returns (fields, valid, overflow);
-    junk lanes (where the new valid is False) hold stale transport values —
-    callers must mask them (the stacked `_rebin_shift` wrapper does; the
-    component-carry rollout zeroes per block).  Shared by the stacked-state
-    wrapper below and the component-layout scan carry (docs/PERF.md r5)."""
+    [0, L) here unless the caller already did — `wrap=False` lets the
+    stacked wrapper wrap on the (…, 3) tensor, keeping its XLA graph
+    bit-identical to the pre-refactor engine: the per-component spelling
+    fuses differently and moved the measured NVE drift endpoint), atom_id
+    (int32) LAST.  Returns (fields, valid, overflow); junk lanes (where the
+    new valid is False) hold stale transport values — callers must mask
+    them (the stacked `_rebin_shift` wrapper does; the component-carry
+    rollout zeroes per block).  Shared by the stacked-state wrapper below
+    and the component-layout scan carry (docs/PERF.md r5)."""
     m, c = config.cells_per_dim, config.capacity
     nc = m**3
     nf = len(fields)
@@ -560,10 +567,11 @@ def _rebin_shift_core(fields, valid, overflow, config: CellDenseConfig, box, bac
     # Wrap positions into [0, L) here (and only here): between rebins the
     # integrator leaves them unwrapped so the kernel's raw ghost-shifted
     # differences stay valid.
-    for i in range(3):
-        fields[i] = jnp.where(
-            valid, fields[i] - jnp.floor(fields[i] / box) * box, 0.0
-        )
+    if wrap:
+        for i in range(3):
+            fields[i] = jnp.where(
+                valid, fields[i] - jnp.floor(fields[i] / box) * box, 0.0
+            )
 
     spill_eps = float(config.cell_side) - float(config.cutoff) - float(config.skin)
     use_kernel = (
@@ -650,12 +658,18 @@ def _rebin_shift(
     box = _state_box(state, config)
     valid = state.valid
 
+    # Wrap positions into [0, L) here (and only here), like `_rebin` — on
+    # the stacked tensor, exactly as the pre-r5 engine spelled it (the
+    # per-component spelling fuses differently; see `_rebin_shift_core`).
+    pos = state.positions
+    pos = jnp.where(valid[..., None], pos - jnp.floor(pos / box) * box, 0.0)
+
     # Scalar transported fields, each (nc, C) so lane rolls stay on the
     # minor axis.  atom_id rides as int32 (selects are type-agnostic).
     # Uniform per-atom constants (LJ params, mass) are NOT routed — they are
     # reconstructed from the new valid mask afterwards, cutting the
     # compaction's dominant roll+select traffic by up to 3 of 13 fields.
-    fields = [state.positions[..., i] for i in range(3)]
+    fields = [pos[..., 0], pos[..., 1], pos[..., 2]]
     fields += [state.velocities[..., i] for i in range(3)]
     im_col = hs_col = None
     if uniform_mass is None:
@@ -675,7 +689,7 @@ def _rebin_shift(
     nf = len(fields)
 
     fields, valid, overflow = _rebin_shift_core(
-        fields, valid, state.overflow, config, box, backend
+        fields, valid, state.overflow, config, box, backend, wrap=False
     )
 
     new_pos = jnp.stack(fields[0:3], axis=-1)
@@ -1466,20 +1480,35 @@ def make_cell_dense_sim(
                     rx, ry, rz = px, py, pz  # rebin-time staleness refs
 
                     def lf_step(s, _):
-                        px, py, pz, vx, vy, vz = s
                         # Invalid slots: v = 0 ⇒ drift is a no-op; sentinel
                         # masking in the kernel keeps their forces exactly 0.
-                        px = px + dt_f * vx
-                        py = py + dt_f * vy
-                        pz = pz + dt_f * vz
+                        # Kahan-compensated drift AND kick (see the stacked
+                        # leapfrog): compensation lives only within a block.
+                        (px, py, pz, vx, vy, vz,
+                         cx, cy, cz, wx, wy, wz) = s
+
+                        def comp_add(p, dp, c):
+                            y = dp - c
+                            t = p + y
+                            return t, (t - p) - y
+
+                        px, cx = comp_add(px, dt_f * vx, cx)
+                        py, cy = comp_add(py, dt_f * vy, cy)
+                        pz, cz = comp_add(pz, dt_f * vz, cz)
                         fx, fy, fz = forces_split(px, py, pz, valid, sbox)
+                        vx, wx = comp_add(vx, kick_dt * fx, wx)
+                        vy, wy = comp_add(vy, kick_dt * fy, wy)
+                        vz, wz = comp_add(vz, kick_dt * fz, wz)
                         return (
-                            px, py, pz,
-                            vx + kick_dt * fx, vy + kick_dt * fy, vz + kick_dt * fz,
+                            px, py, pz, vx, vy, vz,
+                            cx, cy, cz, wx, wy, wz,
                         ), None
 
-                    (px, py, pz, vx, vy, vz), _ = jax.lax.scan(
-                        lf_step, (px, py, pz, vx, vy, vz), None, length=length
+                    zc = jnp.zeros_like(px)
+                    (px, py, pz, vx, vy, vz, *_), _ = jax.lax.scan(
+                        lf_step,
+                        (px, py, pz, vx, vy, vz, zc, zc, zc, zc, zc, zc),
+                        None, length=length,
                     )
                     dx = px - rx
                     dy = py - ry
@@ -1547,21 +1576,38 @@ def make_cell_dense_sim(
                     st = rebin_fn(st, config)
                     aux = aux_fn(st) if aux_fn is not None else None
                     eaux = extra_aux_fn(st) if extra_aux_fn is not None else None
+                    # Kahan-compensated drift AND kick: the f32 position
+                    # increment dt·v is ~1e-4 of the coordinate, so plain
+                    # `+=` loses ~1 ulp/step — the dominant NVE drift term
+                    # at small dt (docs/PERF.md r5: 1.3-2.8e-6 over 500
+                    # steps without, vs the BASELINE 1e-6 gate); the
+                    # velocity kicks walk the same way over hundreds of
+                    # steps.  Compensation lives only within a block
+                    # (rebins re-wrap positions anyway).
+                    comp0 = jnp.zeros_like(st.positions)
+                    vcomp0 = jnp.zeros_like(st.velocities)
 
-                    def lf_step(s, _):
-                        new_pos = s.positions + dt_f * s.velocities
+                    def lf_step(carry, _):
+                        s, comp, vcomp = carry
+                        y = dt_f * s.velocities - comp
+                        new_pos = s.positions + y
+                        comp = (new_pos - s.positions) - y
                         new_pos = jnp.where(
                             s.valid[..., None], new_pos, s.positions
                         )
                         s = s._replace(positions=new_pos)
                         f = forces_of(s, aux, eaux)
-                        return s._replace(
-                            velocities=s.velocities
-                            + dt_f * f * s.inv_masses[..., None],
+                        yv = dt_f * f * s.inv_masses[..., None] - vcomp
+                        new_vel = s.velocities + yv
+                        vcomp = (new_vel - s.velocities) - yv
+                        return (s._replace(
+                            velocities=new_vel,
                             step=s.step + 1,
-                        ), None
+                        ), comp, vcomp), None
 
-                    st, _ = jax.lax.scan(lf_step, st, None, length=length)
+                    (st, _, _), _ = jax.lax.scan(
+                        lf_step, (st, comp0, vcomp0), None, length=length
+                    )
                     return st._replace(
                         overflow=st.overflow | _needs_rebin(st, config)
                     ), None

@@ -540,23 +540,49 @@ def make_straggler_sim(
                 rx, ry, rz = px, py, pz
                 arx, ary, arz = ax, ay, az
 
+                def comp_add(p, dp, c):
+                    # Kahan-compensated drift/kick (cell_dense.py's
+                    # leapfrog does the same): the dt·v increment is ~1e-4
+                    # of the coordinate, so plain += loses ~1 ulp/step —
+                    # the dominant NVE drift term; the kicks walk the same
+                    # way.  Compensation lives only within a block.
+                    y = dp - c
+                    t = p + y
+                    return t, (t - p) - y
+
                 def lf_step(s, _):
-                    px, py, pz, vx, vy, vz, ax, ay, az, avx, avy, avz = s
-                    px, py, pz = px + dt_f * vx, py + dt_f * vy, pz + dt_f * vz
-                    ax, ay, az = ax + dt_f * avx, ay + dt_f * avy, az + dt_f * avz
+                    (px, py, pz, vx, vy, vz, ax, ay, az, avx, avy, avz,
+                     cx, cy, cz, acx, acy, acz,
+                     wx, wy, wz, awx, awy, awz) = s
+                    px, cx = comp_add(px, dt_f * vx, cx)
+                    py, cy = comp_add(py, dt_f * vy, cy)
+                    pz, cz = comp_add(pz, dt_f * vz, cz)
+                    ax, acx = comp_add(ax, dt_f * avx, acx)
+                    ay, acy = comp_add(ay, dt_f * avy, acy)
+                    az, acz = comp_add(az, dt_f * avz, acz)
                     fx, fy, fz, afx, afy, afz = forces(
                         px, py, pz, valid, ax, ay, az, avalid, bind
                     )
+                    vx, wx = comp_add(vx, kick_dt * fx, wx)
+                    vy, wy = comp_add(vy, kick_dt * fy, wy)
+                    vz, wz = comp_add(vz, kick_dt * fz, wz)
+                    avx, awx = comp_add(avx, kick_dt * afx, awx)
+                    avy, awy = comp_add(avy, kick_dt * afy, awy)
+                    avz, awz = comp_add(avz, kick_dt * afz, awz)
                     return (
-                        px, py, pz,
-                        vx + kick_dt * fx, vy + kick_dt * fy, vz + kick_dt * fz,
-                        ax, ay, az,
-                        avx + kick_dt * afx, avy + kick_dt * afy, avz + kick_dt * afz,
+                        px, py, pz, vx, vy, vz,
+                        ax, ay, az, avx, avy, avz,
+                        cx, cy, cz, acx, acy, acz,
+                        wx, wy, wz, awx, awy, awz,
                     ), None
 
-                (px, py, pz, vx, vy, vz, ax, ay, az, avx, avy, avz), _ = jax.lax.scan(
+                zg = jnp.zeros_like(px)
+                za = jnp.zeros_like(ax)
+                (px, py, pz, vx, vy, vz, ax, ay, az, avx, avy, avz,
+                 *_), _ = jax.lax.scan(
                     lf_step,
-                    (px, py, pz, vx, vy, vz, ax, ay, az, avx, avy, avz),
+                    (px, py, pz, vx, vy, vz, ax, ay, az, avx, avy, avz,
+                     zg, zg, zg, za, za, za, zg, zg, zg, za, za, za),
                     None, length=length,
                 )
                 mi = lambda d: d - jnp.round(d / sbox) * sbox
