@@ -335,16 +335,25 @@ def make_straggler_sim(
         backend = (
             "pallas" if jax.default_backend() in ("tpu", "axon") else "pallas_interpret"
         )
-    if backend not in ("pallas", "pallas_interpret"):
+    if backend not in (
+        "pallas", "pallas_interpret",
+        "pallas_streaming", "pallas_streaming_interpret",
+    ):
         raise ValueError(
-            "straggler engine runs the VMEM-resident kernel only "
+            "straggler engine runs the Pallas force kernels only "
             f"(got backend={backend!r})"
         )
+    streaming = backend in ("pallas_streaming", "pallas_streaming_interpret")
+    interp = backend in ("pallas_interpret", "pallas_streaming_interpret")
     if strag_pass == "auto":
-        strag_pass = "xla" if backend == "pallas" else "kernel"
+        strag_pass = "kernel" if backend == "pallas_interpret" else "xla"
     if strag_pass not in ("kernel", "xla"):
         raise ValueError(f"strag_pass must be 'kernel' or 'xla', got {strag_pass!r}")
-    interp = backend == "pallas_interpret"
+    if streaming and strag_pass == "kernel":
+        # The streaming kernel has no straggler tile — its grid pass streams
+        # pencil rows from HBM and the 9-hood list rows would have to stream
+        # with them; the XLA gather pass is the straggler path at scale.
+        raise ValueError("strag_pass='kernel' requires the resident kernel")
     if strag_pass == "kernel" and not interp:
         # The in-kernel 9-hood tile computes WRONG forces when Mosaic-
         # compiled (measured 0.30 max-rel on v5e even with 128-padded lanes,
@@ -357,7 +366,8 @@ def make_straggler_sim(
             "strag_pass='kernel' is interpret-only (Mosaic miscompiles the "
             "straggler tile on real TPUs); use strag_pass='xla' or 'auto'"
         )
-    rebin_backend = backend
+    # The rebin routing kernel is independent of the force-kernel choice.
+    rebin_backend = "pallas_interpret" if interp else "pallas"
     cfg_t = config.grid
     cfg_w = config.wide
     m, c_t = cfg_t.cells_per_dim, cfg_t.capacity
@@ -390,7 +400,9 @@ def make_straggler_sim(
         )
         return (idx, mask), jnp.asarray(False)
 
-    def forces(px, py, pz, valid, ax, ay, az, avalid, bind):
+    def _grid_forces_resident(px, py, pz, valid, strag=None):
+        """VMEM-resident kernel on the C_t grid (optionally with the
+        in-kernel straggler tile) — ghosts/centers built XLA-side."""
         far = _sentinel_far(cfg_t)
         sx = jnp.where(valid, px, far)
         sy = jnp.where(valid, py, far)
@@ -407,22 +419,38 @@ def make_straggler_sim(
             return a.transpose(0, 2, 1).reshape(nc, c_t)
 
         cen_fields = [center(sx), center(sy), center(sz)]
-        if strag_pass == "kernel":
-            o_bf, smask = bind
+        if strag is not None:
+            sgx, sgy, sgz, smask = strag
             centers = jnp.concatenate(
                 cen_fields + [center(valid.astype(jnp.float32))], axis=1
             )
-            sgx, sgy, sgz = _build_strag_rows(o_bf, ax, ay, az, m)
             outs = halfshell_call(
                 (gx, gy, gz, centers) + _const_tiles(m, c_t), cfg_t, (m, m, m),
                 interpret=interp, uniform_params=uniform_params,
                 strag_inputs=(sgx, sgy, sgz, smask), strag_kn=kn,
             )
             fx_c, fy_c, fz_c, react, sro = outs
-            react = react.reshape(3, g * g, g * c_t)
-            fx = uncenter(fx_c) + _fold_ghosts(react[0], m, c_t)
-            fy = uncenter(fy_c) + _fold_ghosts(react[1], m, c_t)
-            fz = uncenter(fz_c) + _fold_ghosts(react[2], m, c_t)
+        else:
+            centers = jnp.concatenate(cen_fields, axis=1)
+            outs = halfshell_call(
+                (gx, gy, gz, centers) + _const_tiles(m, c_t), cfg_t, (m, m, m),
+                interpret=interp, uniform_params=uniform_params,
+            )
+            fx_c, fy_c, fz_c, react = outs
+            sro = None
+        react = react.reshape(3, g * g, g * c_t)
+        fx = uncenter(fx_c) + _fold_ghosts(react[0], m, c_t)
+        fy = uncenter(fy_c) + _fold_ghosts(react[1], m, c_t)
+        fz = uncenter(fz_c) + _fold_ghosts(react[2], m, c_t)
+        return fx, fy, fz, sro
+
+    def forces(px, py, pz, valid, ax, ay, az, avalid, bind):
+        if strag_pass == "kernel":
+            o_bf, smask = bind
+            sgx, sgy, sgz = _build_strag_rows(o_bf, ax, ay, az, m)
+            fx, fy, fz, sro = _grid_forces_resident(
+                px, py, pz, valid, strag=(sgx, sgy, sgz, smask)
+            )
             af = _fold_strag_react(o_bf, sro, m, kn)  # (3, A)
             afx, afy, afz = af[0], af[1], af[2]
         else:
@@ -431,16 +459,19 @@ def make_straggler_sim(
             # computes min-imaged uniform-LJ pairs, and scatter-adds the
             # reactions back.  No kernel involvement — the robust path on
             # hardware where the in-kernel tile trips Mosaic layouts.
-            centers = jnp.concatenate(cen_fields, axis=1)
-            outs = halfshell_call(
-                (gx, gy, gz, centers) + _const_tiles(m, c_t), cfg_t, (m, m, m),
-                interpret=interp, uniform_params=uniform_params,
-            )
-            fx_c, fy_c, fz_c, react = outs
-            react = react.reshape(3, g * g, g * c_t)
-            fx = uncenter(fx_c) + _fold_ghosts(react[0], m, c_t)
-            fy = uncenter(fy_c) + _fold_ghosts(react[1], m, c_t)
-            fz = uncenter(fz_c) + _fold_ghosts(react[2], m, c_t)
+            # The grid pass is the resident kernel, or the HBM-streaming
+            # kernel when the grid outgrows VMEM (the 1M-atom shape).
+            if streaming:
+                from emdee_tpu.neighbors.pallas_cell_kernel import (
+                    pallas_cell_forces_streaming_split,
+                )
+
+                fx, fy, fz = pallas_cell_forces_streaming_split(
+                    px, py, pz, valid, cfg_t,
+                    uniform_params=uniform_params, interpret=interp, box=sbox,
+                )
+            else:
+                fx, fy, fz, _ = _grid_forces_resident(px, py, pz, valid)
             idx, mask = bind
             a27c = (a_cap, 27 * c_t)
             cxp = px[idx].reshape(a27c)

@@ -99,15 +99,24 @@ def test_forces_match_wide_engine(melt):
     assert np.abs(f_probe - fr).max() / scale < 5e-3  # dt-probe noise dominates
 
 
-@pytest.mark.parametrize("strag_pass", ["kernel", "xla"])
-def test_nve_and_trajectory_vs_wide(melt, strag_pass):
+@pytest.mark.parametrize(
+    "backend,strag_pass",
+    [
+        ("pallas_interpret", "kernel"),
+        ("pallas_interpret", "xla"),
+        ("pallas_streaming_interpret", "xla"),
+    ],
+)
+def test_nve_and_trajectory_vs_wide(melt, backend, strag_pass):
     """24-step NVE: energy conserved, trajectory ≡ the wide engine, and the
     aux buffer re-parks across rebins — for BOTH straggler passes (the
-    in-kernel 9-hood tile and the pure-XLA 27-row gather)."""
+    in-kernel 9-hood tile and the pure-XLA 27-row gather) and for the
+    HBM-streaming grid kernel (the 1M-shape backend, probed and refuted as
+    a 1M production path in docs/PERF.md r5 but kept correct)."""
     st, sconfig, uni, n = melt
     rollout, energy = make_straggler_sim(
         sconfig, MODEL, dt=0.005, uniform_params=uni,
-        uniform_mass=1.0, backend="pallas_interpret", strag_pass=strag_pass,
+        uniform_mass=1.0, backend=backend, strag_pass=strag_pass,
     )
     pe0, _, ke0 = (float(x) for x in energy(st))
     out = rollout(st, num_steps=24, rebin_every=6)
