@@ -42,7 +42,12 @@ def _temperature(state, n):
 @pytest.mark.parametrize(
     "thermostat",
     [
-        CSVRConfig(temperature=1.0, tau=0.2),
+        # Statistical relaxation gates are slow (≈52 s each) — full tier;
+        # the quick tier keeps the CSVR relax gate on the allpairs engine
+        # (test_dynamics_extra.py) and the rng-API check below.
+        pytest.param(
+            CSVRConfig(temperature=1.0, tau=0.2), marks=pytest.mark.full
+        ),
         pytest.param(
             LangevinConfig(temperature=1.0, friction=2.0), marks=pytest.mark.full
         ),
@@ -65,6 +70,20 @@ def test_dense_thermostat_relaxes_to_target(thermostat):
     out2 = rollout(out, num_steps=300, rebin_every=5, rng=jax.random.PRNGKey(5))
     t2 = _temperature(out2, n)
     assert 0.85 < t2 < 1.15
+
+
+def test_dense_thermostat_smoke():
+    """Quick-tier execution gate for the dense thermostatted rollout: a cold
+    start must heat toward the target within a short window (the full
+    statistical relaxation gates above are full-tier)."""
+    st, config, model, n = _setup(t_init=0.2)
+    rollout, _ = make_cell_dense_sim(
+        config, model, dt=0.004, backend="xla",
+        thermostat=CSVRConfig(temperature=1.0, tau=0.2),
+    )
+    out = rollout(st, num_steps=60, rebin_every=5, rng=jax.random.PRNGKey(3))
+    assert not bool(out.overflow)
+    assert _temperature(out, n) > 0.3  # pumped well above the cold start
 
 
 def test_dense_thermostat_requires_rng():

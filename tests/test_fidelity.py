@@ -98,9 +98,10 @@ def test_nve_drift_1e6_f64_measured():
         ke = 0.5 * float((v.astype(np.float64) ** 2).sum())
         return pe, ke
 
-    # dt=0.002 sits at the f32 sweet spot: larger dt → O(dt²) integrator
-    # drift (1.1e-6 at dt=0.004); smaller dt → position-update roundoff
-    # dominates (2.2e-6 at dt=0.001).  Deterministic engine → a fixed value.
+    # dt=0.002 keeps the O(dt²) integrator drift below the gate; the
+    # position/velocity roundoff walk that once dominated at small dt
+    # (1.3-2.8e-6 over this window) is killed by the leapfrog's Kahan-
+    # compensated drift+kick (r5).  Deterministic engine → a fixed value.
     run, _ = make_cell_dense_sim(config, model, dt=0.002, backend="xla")
     pe0, ke0 = e_f64(state)
     out = run(state, num_steps=500, rebin_every=4)

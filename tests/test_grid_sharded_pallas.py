@@ -192,7 +192,14 @@ def test_grid_lj_energy_pallas_matches_xla(backend):
     assert vir_p == pytest.approx(vir_x, rel=1e-5, abs=1e-3)
 
 
-@pytest.mark.parametrize("backend", PALLAS_BACKENDS)
+@pytest.mark.parametrize(
+    "backend",
+    [
+        "pallas_interpret",
+        # Same transport, second force backend — full tier (quick-time budget).
+        pytest.param("pallas_streaming_interpret", marks=pytest.mark.full),
+    ],
+)
 def test_grid_rebin_kernel_bitexact_vs_xla_rounds(backend):
     """The per-shard Pallas rebin (window-pass kernel, VERDICT r4 item 4)
     must reproduce the XLA `_route_axis_pass` rounds BIT-FOR-BIT under

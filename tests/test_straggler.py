@@ -102,9 +102,14 @@ def test_forces_match_wide_engine(melt):
 @pytest.mark.parametrize(
     "backend,strag_pass",
     [
-        ("pallas_interpret", "kernel"),
+        # Quick tier runs the production pass (XLA 27-row gather); the
+        # interpret-only kernel tile and the streaming grid backend are
+        # full-tier (each ≈45 s — quick-time budget).
         ("pallas_interpret", "xla"),
-        ("pallas_streaming_interpret", "xla"),
+        pytest.param("pallas_interpret", "kernel", marks=pytest.mark.full),
+        pytest.param(
+            "pallas_streaming_interpret", "xla", marks=pytest.mark.full
+        ),
     ],
 )
 def test_nve_and_trajectory_vs_wide(melt, backend, strag_pass):
