@@ -13,10 +13,14 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/perf_mol_r5b.py [steps]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/emdee_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
 def main(steps=200):
